@@ -1,0 +1,105 @@
+"""Configuration system for lidar_slam_tpu.
+
+The reference hardcodes every parameter as compile-time constants scattered
+through ``main()`` (reference ``Subsystem_1/main.c:832-842``: search
+resolutions, pixel sizes, border size, mini-update thresholds, dataset path).
+Here they are frozen dataclasses: hashable (usable as jit static args),
+serializable to/from JSON, and with the reference's values as defaults so the
+fidelity pipeline reproduces the C trajectory.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass
+from typing import Any
+
+
+@dataclass(frozen=True)
+class LidarConfig:
+    """Sensor model (reference ``main.c:45-58``: Hokuyo-like, 1079 beams)."""
+
+    n_beams: int = 1079
+    angle_min: float = -2.351831
+    angle_increment: float = 0.004363
+    range_min: float = 0.023
+    range_max: float = 60.0
+    usable_range: float = 24.0  # gating range passed to readAScan (main.c:846)
+
+
+@dataclass(frozen=True)
+class GridConfig:
+    """Dual-resolution occupancy/likelihood grids (reference ``main.c:200-213``)."""
+
+    coarse_size: int = 200          # max cells per side, 0.2 m grid
+    fine_size: int = 400            # max cells per side, 0.1 m grid
+    coarse_pixel: float = 0.2
+    fine_pixel: float = 0.1
+    border_size: float = 1.0        # local-map AABB border (main.c:834)
+    margin_pixels: int = 3          # grid bound margin (main.c:298-302)
+    max_dist_px: float = 10.0       # EDT clamp (main.c:224)
+
+
+@dataclass(frozen=True)
+class MatcherConfig:
+    """Correlative matcher search resolutions (reference ``main.c:832-833``)."""
+
+    coarse_t: float = 0.05          # m
+    coarse_r: float = 0.008727      # rad (0.5 deg)
+    fine_t: float = 0.025
+    fine_r: float = 0.004363
+    # Full-window correlative search (performance mode; the reference only
+    # ever explores the fixed 3x3x3 neighborhood).
+    window_t: int = 1               # +-window_t steps in x/y  (1 => 3 values)
+    window_r: int = 1               # +-window_r steps in theta
+
+
+@dataclass(frozen=True)
+class MapConfig:
+    """Point-map capacities (reference ``main.c:123-151``)."""
+
+    map_capacity: int = 20000
+    local_map_capacity: int = 25000
+    new_point_threshold: float = 1.5   # bestHits > 1.5 novel-surface test (main.c:943)
+    mini_update_dt: float = 0.3        # m   (main.c:838)
+    mini_update_dr: float = 0.0872665  # rad (5 deg, main.c:839)
+
+
+@dataclass(frozen=True)
+class ParticleConfig:
+    """Particle-filter layer (north-star extension; absent in the reference)."""
+
+    n_particles: int = 1024
+    sigma_xy: float = 0.02          # proposal noise std (m)
+    sigma_theta: float = 0.004      # proposal noise std (rad)
+    score_temperature: float = 0.5  # weight = exp(-score/temperature)
+    resample_threshold: float = 0.5  # resample when ESS/N below this
+
+
+@dataclass(frozen=True)
+class SlamConfig:
+    """Top-level config bundle."""
+
+    lidar: LidarConfig = LidarConfig()
+    grid: GridConfig = GridConfig()
+    matcher: MatcherConfig = MatcherConfig()
+    map: MapConfig = MapConfig()
+    particles: ParticleConfig = ParticleConfig()
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, text: str) -> "SlamConfig":
+        raw: dict[str, Any] = json.loads(text)
+        return cls(
+            lidar=LidarConfig(**raw.get("lidar", {})),
+            grid=GridConfig(**raw.get("grid", {})),
+            matcher=MatcherConfig(**raw.get("matcher", {})),
+            map=MapConfig(**raw.get("map", {})),
+            particles=ParticleConfig(**raw.get("particles", {})),
+        )
+
+
+DEFAULT_CONFIG = SlamConfig()

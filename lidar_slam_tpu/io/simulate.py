@@ -1,0 +1,149 @@
+"""Synthetic 2D lidar dataset generator.
+
+The reference ships (a zip of) a CSV dump of the Cartographer Deutsches Museum
+2D scan log — 1079 ranges per row (``Subsystem_1/lidar_dataset.zip``; absent
+from our mount, see ``.MISSING_LARGE_BLOBS``). This module synthesizes an
+equivalent dataset with the *exact* sensor geometry of the reference
+(``main.c:45-58``): 1079 beams, angle_min -2.351831, increment 0.004363 rad,
+sampled at 10 Hz from a museum-like multi-room floor plan.
+
+Pose convention: the reference's ``Transform`` maps sensor->world as
+``w = R(-theta) p + t`` (main.c:115-116), so a beam at sensor angle a leaves
+the robot at world angle ``a - theta``. The generator raycasts in that
+convention so the ground-truth poses are directly comparable to the
+pipeline's estimates.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+from lidar_slam_tpu.config import LidarConfig
+from lidar_slam_tpu.core.sensor import beam_angles
+
+
+class World(NamedTuple):
+    segments: np.ndarray  # (S, 4) — x1, y1, x2, y2
+
+
+def _box(x0, y0, x1, y1):
+    return [(x0, y0, x1, y0), (x1, y0, x1, y1), (x1, y1, x0, y1), (x0, y1, x0, y0)]
+
+
+def museum_world() -> World:
+    """A 20x15 m three-room floor plan with door gaps and pillars."""
+    segs: list[tuple[float, float, float, float]] = []
+    segs += _box(0.0, 0.0, 20.0, 15.0)                       # outer shell
+    segs += [(8.0, 0.0, 8.0, 6.0), (8.0, 8.0, 8.0, 15.0)]    # wall A, door y 6..8
+    segs += [(8.0, 7.5, 13.0, 7.5), (15.0, 7.5, 20.0, 7.5)]  # wall B, door x 13..15
+    for cx, cy in [(4.0, 7.5), (12.0, 11.5), (16.5, 3.5), (11.5, 2.5)]:
+        s = 0.25
+        segs += _box(cx - s, cy - s, cx + s, cy + s)         # pillars
+    return World(segments=np.asarray(segs, np.float64))
+
+
+DEFAULT_WAYPOINTS = np.asarray([
+    (3.0, 3.0), (3.0, 12.0), (5.5, 12.5), (6.0, 5.0), (7.0, 6.9),
+    (9.5, 7.0), (11.5, 5.0), (13.0, 2.5), (17.0, 2.0), (18.0, 5.5),
+    (14.5, 6.2), (14.0, 8.5), (16.5, 9.5), (17.5, 12.5), (13.0, 13.0),
+    (10.0, 11.5), (9.2, 9.0), (10.5, 8.2), (13.5, 9.0),
+], np.float64)
+
+
+def smooth_trajectory(waypoints: np.ndarray, speed: float = 0.35,
+                      rate_hz: float = 10.0, smooth_m: float = 1.2) -> np.ndarray:
+    """Arc-length-resampled, corner-rounded path -> (T, 3) poses (ref convention).
+
+    The per-step displacement (speed/rate ~ 3.5 cm) stays below the coarse
+    matcher step (5 cm) so the constant-velocity prior plus one correlative
+    refinement per stage can track it, mirroring the reference's operating
+    regime (10 Hz walking data, dissertation p.23).
+    """
+    # densify the polyline
+    pts = []
+    for a, b in zip(waypoints[:-1], waypoints[1:]):
+        n = max(2, int(np.linalg.norm(b - a) / 0.01))
+        t = np.linspace(0.0, 1.0, n, endpoint=False)[:, None]
+        pts.append(a[None] * (1 - t) + b[None] * t)
+    dense = np.concatenate(pts + [waypoints[-1:]], axis=0)
+
+    # moving-average corner rounding
+    win = max(1, int(smooth_m / 0.01))
+    kernel = np.ones(win) / win
+    sm = np.stack([np.convolve(dense[:, i], kernel, mode="valid") for i in range(2)], 1)
+
+    # arc-length resample at the sensor rate
+    seglen = np.linalg.norm(np.diff(sm, axis=0), axis=1)
+    s = np.concatenate([[0.0], np.cumsum(seglen)])
+    step = speed / rate_hz
+    stations = np.arange(0.0, s[-1] - 1e-6, step)
+    x = np.interp(stations, s, sm[:, 0])
+    y = np.interp(stations, s, sm[:, 1])
+
+    heading = np.arctan2(np.gradient(y), np.gradient(x))
+    heading = np.unwrap(heading)
+    # smooth heading too (turn-rate continuity for the constant-velocity prior)
+    hw = 15
+    hk = np.ones(hw) / hw
+    heading = np.convolve(np.pad(heading, hw // 2, mode="edge"), hk, mode="valid")[: len(x)]
+    theta = -heading  # reference convention: world angle = sensor angle - theta
+    return np.stack([x, y, theta], axis=1)
+
+
+def raycast(world: World, pose: np.ndarray, angles: np.ndarray,
+            max_range: float = 60.0) -> np.ndarray:
+    """Cast all beams from one pose; returns ranges (N,), 0 where no hit."""
+    ox, oy, theta = pose
+    ang = angles.astype(np.float64) - theta
+    dx, dy = np.cos(ang), np.sin(ang)                       # (N,)
+    x1, y1, x2, y2 = world.segments.T                        # (S,)
+    ex, ey = x2 - x1, y2 - y1
+    # o + t d = p1 + u e ; solve per (beam, segment)
+    denom = dx[:, None] * ey[None, :] - dy[:, None] * ex[None, :]  # (N, S)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rel_x = x1[None, :] - ox
+        rel_y = y1[None, :] - oy
+        t = (rel_x * ey[None, :] - rel_y * ex[None, :]) / denom
+        u = (rel_x * dy[:, None] - rel_y * dx[:, None]) / denom
+    hit = (np.abs(denom) > 1e-12) & (t > 1e-9) & (u >= 0.0) & (u <= 1.0)
+    t = np.where(hit, t, np.inf)
+    r = np.min(t, axis=1)
+    return np.where(np.isfinite(r) & (r <= max_range), r, 0.0)
+
+
+def generate_dataset(n_scans: int = 1000, seed: int = 0,
+                     noise_std: float = 0.008, dropout: float = 0.01,
+                     speed: float = 0.35,
+                     cfg: LidarConfig = LidarConfig()) -> tuple[np.ndarray, np.ndarray]:
+    """Returns (ranges (T, 1079) f32, ground-truth poses (T, 3) f32).
+
+    Ground truth starts at the origin with theta 0 (the pipeline assumes pose0
+    = (0,0,0), main.c:830), so poses are expressed relative to the first one.
+    """
+    rng = np.random.default_rng(seed)
+    world = museum_world()
+    angles = beam_angles(cfg)
+    traj = smooth_trajectory(DEFAULT_WAYPOINTS, speed=speed)
+    if len(traj) < n_scans:
+        raise ValueError(f"trajectory supports {len(traj)} scans < {n_scans}")
+    traj = traj[:n_scans]
+
+    ranges = np.zeros((n_scans, cfg.n_beams), np.float32)
+    for i, pose in enumerate(traj):
+        r = raycast(world, pose, angles)
+        r = r + rng.normal(0.0, noise_std, r.shape) * (r > 0)
+        drop = rng.random(r.shape) < dropout
+        ranges[i] = np.where(drop, 0.0, np.maximum(r, 0.0)).astype(np.float32)
+
+    # Express ground truth relative to the starting pose. With the reference
+    # convention w = A(th) p + t, A(th) = [[c, s], [-s, c]], the pose in the
+    # scan-0 frame is (A(th0)^T (t - t0), th - th0).
+    t0 = traj[0]
+    c, s = np.cos(t0[2]), np.sin(t0[2])
+    rel = traj - t0
+    gx = c * rel[:, 0] - s * rel[:, 1]
+    gy = s * rel[:, 0] + c * rel[:, 1]
+    gt = np.stack([gx, gy, rel[:, 2]], axis=1).astype(np.float32)
+    return ranges, gt

@@ -1,0 +1,91 @@
+"""Clamped Euclidean distance transform — the reference's profiled bottleneck.
+
+The reference computes, for every free cell, the distance to the nearest
+occupied cell, clamped to MAX_DIST = 10 px; occupied cells get 0
+(``euclidean_distance_transform{,2}``, main.c:223-269). Its implementation is
+an O(W*H*W*H) brute-force double scan (89.98% of total runtime, dissertation
+p.33); the FPGA variant offloads exactly this loop.
+
+TPU-native design: the clamp is the gift. Squared Euclidean distance
+separates, so the clamped EDT is exact as two 1-D windowed min-passes with a
+window of +-R (R = 10):
+
+    d1[y, x]  = min_{|dx| <= R} (occ[y, x+dx] ? dx^2 : INF)
+    d2[y, x]  = min_{|dy| <= R} (d1[y+dy, x] + dy^2)
+    out[y, x] = occ[y, x] ? 0 : min(sqrt(d2), R)
+
+(2R+1 shifted mins per pass instead of (2R+1)^2, fully vectorized on the VPU;
+any true distance > R clamps to R, so no occupied cell outside the window can
+change the result.) ``edt_clamped`` is the jnp form (XLA fuses the shift
+stack); ``ops/pallas_edt.py`` holds the single-kernel VMEM-resident version.
+``edt_clamped_reference`` is the O(N^4)-faithful oracle used by tests, kept in
+numpy so its cost stays off the hot path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_INF = jnp.float32(3.0e38)
+
+
+@functools.partial(jax.jit, static_argnames=("max_dist",))
+def edt_clamped(occ: jnp.ndarray, max_dist: int = 10) -> jnp.ndarray:
+    """Exact clamped EDT of a boolean occupancy grid. Returns f32 (H, W).
+
+    Free cells: min(distance to nearest occupied cell, max_dist).
+    Occupied cells: 0. Matches main.c:223-245 on the valid region as long as
+    cells outside the region are unoccupied.
+    """
+    occ = occ.astype(jnp.bool_)
+    h, w = occ.shape
+    r = int(max_dist)
+    max_f = jnp.float32(float(max_dist))
+
+    # Pass 1 (along x): d1 = min over dx of (occ shifted by dx ? dx^2 : INF)
+    occ_pad = jnp.pad(occ, ((0, 0), (r, r)), constant_values=False)
+    d1 = jnp.full((h, w), _INF)
+    for dx in range(-r, r + 1):
+        shifted = jax.lax.dynamic_slice(occ_pad, (0, dx + r), (h, w))
+        d1 = jnp.minimum(d1, jnp.where(shifted, jnp.float32(dx * dx), _INF))
+
+    # Pass 2 (along y): d2 = min over dy of (d1 shifted by dy) + dy^2
+    d1_pad = jnp.pad(d1, ((r, r), (0, 0)), constant_values=_INF)
+    d2 = jnp.full((h, w), _INF)
+    for dy in range(-r, r + 1):
+        shifted = jax.lax.dynamic_slice(d1_pad, (dy + r, 0), (h, w))
+        d2 = jnp.minimum(d2, shifted + jnp.float32(dy * dy))
+
+    dist = jnp.minimum(jnp.sqrt(jnp.minimum(d2, _INF)), max_f)
+    return jnp.where(occ, jnp.float32(0.0), dist)
+
+
+def edt_clamped_reference(occ: np.ndarray, max_dist: float = 10.0) -> np.ndarray:
+    """Brute-force oracle with the reference's exact update rule.
+
+    Reproduces the quirk of main.c:230-241: ``min_dist`` starts at MAX_DIST
+    and is lowered only when ``dist_square < min_dist**2`` — i.e. a cell at
+    exactly distance MAX_DIST stays clamped. Used in tests to pin down the
+    fast implementations (mirrors the reference's HW-vs-SW testbench pattern,
+    dissertation p.45 §15.3.3).
+    """
+    occ = np.asarray(occ, bool)
+    h, w = occ.shape
+    out = np.zeros((h, w), np.float32)
+    ys, xs = np.nonzero(occ)
+    for y in range(h):
+        for x in range(w):
+            if occ[y, x]:
+                continue
+            min_dist = np.float32(max_dist)
+            if len(xs):
+                d2 = (xs - x) ** 2 + (ys - y) ** 2
+                best = np.float32(np.sqrt(np.min(d2)))
+                if best < min_dist:
+                    min_dist = best
+            out[y, x] = min_dist
+    return out

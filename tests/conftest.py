@@ -1,0 +1,26 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices so sharding/collective paths are
+exercised without TPU hardware (the reference's analog: verifying the HLS
+kernel on a 10x10 sub-map before the real fabric, dissertation p.46 §15.3.4).
+Must run before the first ``import jax`` anywhere in the test session.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the container env pins 'axon'
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def small_dataset():
+    """A short synthetic dataset shared across tests (80 scans)."""
+    from lidar_slam_tpu.io import dataset
+
+    ranges, gt, _ = dataset.ensure_dataset(n_scans=80, seed=3)
+    return np.asarray(ranges), np.asarray(gt)
