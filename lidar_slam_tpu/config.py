@@ -71,10 +71,13 @@ class ParticleConfig:
     """Particle-filter layer (north-star extension; absent in the reference)."""
 
     n_particles: int = 1024
-    sigma_xy: float = 0.02          # proposal noise std (m)
-    sigma_theta: float = 0.004      # proposal noise std (rad)
-    score_temperature: float = 0.5  # weight = exp(-score/temperature)
+    sigma_xy: float = 0.01          # proposal noise std (m)
+    sigma_theta: float = 0.002      # proposal noise std (rad)
+    score_temperature: float = 0.05  # weight = exp(-avg_px_dist/temperature)
     resample_threshold: float = 0.5  # resample when ESS/N below this
+    # correlation-volume scoring (ops/correlative.py)
+    vol_theta_bins: int = 9         # theta bins at fine_r step
+    vol_half: int = 8               # +-pixels covered; window = 2*half+1
 
 
 @dataclass(frozen=True)

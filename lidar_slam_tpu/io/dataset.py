@@ -34,7 +34,7 @@ def ensure_dataset(n_scans: int = 1000, data_dir: str | None = None,
 
     data_dir = data_dir or os.path.abspath(DEFAULT_DATA_DIR)
     os.makedirs(data_dir, exist_ok=True)
-    tag = f"museum_{n_scans}_s{seed}"
+    tag = f"museum_v2_{n_scans}_s{seed}"  # bump suffix when the generator changes
     npz = os.path.join(data_dir, tag + ".npz")
     csv = os.path.join(data_dir, tag + ".csv")
     if os.path.exists(npz):

@@ -52,8 +52,9 @@ DEFAULT_WAYPOINTS = np.asarray([
 ], np.float64)
 
 
-def smooth_trajectory(waypoints: np.ndarray, speed: float = 0.35,
-                      rate_hz: float = 10.0, smooth_m: float = 1.2) -> np.ndarray:
+def smooth_trajectory(waypoints: np.ndarray, speed: float = 0.3,
+                      rate_hz: float = 10.0, smooth_m: float = 2.0,
+                      heading_smooth: int = 51) -> np.ndarray:
     """Arc-length-resampled, corner-rounded path -> (T, 3) poses (ref convention).
 
     The per-step displacement (speed/rate ~ 3.5 cm) stays below the coarse
@@ -84,10 +85,14 @@ def smooth_trajectory(waypoints: np.ndarray, speed: float = 0.35,
 
     heading = np.arctan2(np.gradient(y), np.gradient(x))
     heading = np.unwrap(heading)
-    # smooth heading too (turn-rate continuity for the constant-velocity prior)
-    hw = 15
+    # Smooth heading heavily (twice): the matcher corrects at most
+    # coarse_r + fine_r = 0.75 deg/step beyond the constant-velocity
+    # prediction, so the turn-rate must change slowly.
+    hw = heading_smooth
     hk = np.ones(hw) / hw
-    heading = np.convolve(np.pad(heading, hw // 2, mode="edge"), hk, mode="valid")[: len(x)]
+    for _ in range(2):
+        heading = np.convolve(np.pad(heading, hw // 2, mode="edge"), hk,
+                              mode="valid")[: len(x)]
     theta = -heading  # reference convention: world angle = sensor angle - theta
     return np.stack([x, y, theta], axis=1)
 

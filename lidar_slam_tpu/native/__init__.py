@@ -28,8 +28,10 @@ _lib = None
 
 
 def _build() -> None:
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           "-o", _LIB, _SRC]
+    # -ffp-contract=off: keep multiply-add rounding identical to XLA:CPU so
+    # trajectory parity tests can demand bit-exactness over long runs.
+    cmd = ["g++", "-O3", "-march=native", "-ffp-contract=off", "-shared",
+           "-fPIC", "-std=c++17", "-o", _LIB, _SRC]
     subprocess.run(cmd, check=True, capture_output=True)
 
 

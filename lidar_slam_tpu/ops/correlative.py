@@ -1,0 +1,142 @@
+"""Correlation-volume scan scoring — the TPU-native scaling trick.
+
+Problem: weighting P particles (x 27 candidates) against the EDT likelihood
+field is a (P*27*N)-point scalar gather; XLA TPU gathers run ~100 M/s, so 1k
+particles cost ~350 ms/scan — two orders of magnitude over budget.
+
+Design: all particles cluster around the predicted pose, so every lookup hits
+the field within a few pixels of a shared base projection. We therefore:
+
+1. project the scan once per theta-bin around the base pose (T bins, step =
+   the fine matcher resolution);
+2. extract, for every beam, a (W, W) window of the field centered at its base
+   cell — as a *row-slab gather* (rows are contiguous lanes; cheap) followed
+   by a banded one-hot matmul on the MXU for the column select (no scalar
+   gathers anywhere);
+3. sum windows over beams into a score volume C[t, dy, dx] (and an in-bounds
+   count volume) — C is exactly "score of the scan shifted by (dy, dx) cells
+   at theta-bin t";
+4. score any continuous candidate pose by *trilinear interpolation* into C.
+   Interpolation commutes with the per-beam sum, so this equals per-beam
+   bilinear field sampling — smoother than the reference's roundf cell
+   snapping (main.c:483-501) and with a usable gradient, at O(T*N*W^2)
+   cost independent of particle count.
+
+The per-pose lookup cost is 8 small-table gathers per particle (~2.6k-entry
+table), so 10k particles weight in well under a millisecond.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from lidar_slam_tpu.core.gridmap import OccGrid, roundf_like
+
+
+class ScoreVolume(NamedTuple):
+    scores: jnp.ndarray     # (T, W, W) f32 — sum of field values per offset
+    counts: jnp.ndarray     # (T, W, W) f32 — in-bounds beam count per offset
+    base_pose: jnp.ndarray  # (3,) pose the volume is centered on
+    theta_step: float       # static
+    ipixel: jnp.ndarray     # () f32 (traced — grid.pixel is a state leaf)
+    half: int               # static — W = 2*half + 1
+
+
+def build_score_volume(metric: jnp.ndarray, grid: OccGrid,
+                       scan_x: jnp.ndarray, scan_y: jnp.ndarray,
+                       valid: jnp.ndarray, base_pose: jnp.ndarray,
+                       n_theta: int = 9, theta_step: float = 0.004363,
+                       half: int = 8) -> ScoreVolume:
+    """Build the (n_theta, W, W) correlation volume around ``base_pose``."""
+    w = 2 * half + 1
+    t_half = n_theta // 2
+    s = metric.shape[0]                      # fixed grid array side
+    ipixel = jnp.float32(1.0 / grid.pixel)
+
+    thetas = base_pose[2] + (jnp.arange(n_theta, dtype=jnp.float32) - t_half) * theta_step
+    ct = jnp.cos(thetas)[:, None]            # (T, 1)
+    st = jnp.sin(thetas)[:, None]
+    px = scan_x * ipixel                     # (N,)
+    py = scan_y * ipixel
+    # reference-convention rotation (main.c:462-463)
+    rx = px[None, :] * ct + py[None, :] * st          # (T, N)
+    ry = -px[None, :] * st + py[None, :] * ct
+    offx = (base_pose[0] - grid.origin[0]) * ipixel
+    offy = (base_pose[1] - grid.origin[1]) * ipixel
+    # base cells, 0-based into the fixed array (ref 1-based minus 1)
+    cx0 = roundf_like(rx + offx).astype(jnp.int32)    # (T, N)
+    cy0 = roundf_like(ry + offy).astype(jnp.int32)
+
+    t, n = cx0.shape
+    flat_cx = cx0.reshape(t * n)
+    flat_cy = cy0.reshape(t * n)
+
+    # --- row-slab gather: rows [cy0-half, cy0+half] for every (bin, beam)
+    row_idx = flat_cy[:, None] + (jnp.arange(w) - half)[None, :]       # (TN, W)
+    row_ok = (row_idx >= 1) & (row_idx < grid.n_rows - 1)              # ref bounds
+    rows = jnp.take(metric, jnp.clip(row_idx, 0, s - 1).reshape(-1),
+                    axis=0, mode="clip").reshape(t * n, w, s)          # (TN, W, S)
+
+    # --- banded one-hot column select on the MXU: (TN, W, S) @ (TN, S, W)
+    col_targets = flat_cx[:, None] + (jnp.arange(w) - half)[None, :]   # (TN, W)
+    col_ok = (col_targets >= 1) & (col_targets < grid.n_cols - 1)
+    onehot = (jnp.arange(s)[None, :, None] == col_targets[:, None, :])
+    onehot = (onehot & col_ok[:, None, :]).astype(jnp.bfloat16)        # (TN, S, W)
+    patches = jnp.einsum("brw,bwc->brc", rows.astype(jnp.bfloat16), onehot,
+                         preferred_element_type=jnp.float32)           # (TN, W, W)
+
+    # --- masked accumulation over beams
+    vmask = valid.astype(jnp.float32)
+    vmask = jnp.tile(vmask, (t,)).reshape(t * n)
+    row_m = row_ok.astype(jnp.float32) * vmask[:, None]                # (TN, W)
+    col_m = col_ok.astype(jnp.float32)
+    patches = patches * row_m[:, :, None]
+    scores = jnp.sum(patches.reshape(t, n, w, w), axis=1)              # (T, W, W)
+    counts = jnp.einsum("br,bc->brc", row_m, col_m).reshape(t, n, w, w).sum(axis=1)
+
+    return ScoreVolume(scores=scores, counts=counts,
+                       base_pose=base_pose, theta_step=float(theta_step),
+                       ipixel=ipixel, half=half)
+
+
+def lookup_avg_distance(vol: ScoreVolume, poses: jnp.ndarray) -> jnp.ndarray:
+    """Average field distance for candidate poses (..., 3) via trilinear
+    interpolation into the volume. Out-of-window poses clamp to the edge."""
+    t, w, _ = vol.scores.shape
+    half = vol.half
+    t_half = t // 2
+
+    fdx = (poses[..., 0] - vol.base_pose[0]) * vol.ipixel + half
+    fdy = (poses[..., 1] - vol.base_pose[1]) * vol.ipixel + half
+    fdt = (poses[..., 2] - vol.base_pose[2]) / vol.theta_step + t_half
+
+    def tri(vol3d):
+        flat = vol3d.reshape(-1)
+
+        def at(ti, yi, xi):
+            ti = jnp.clip(ti, 0, t - 1)
+            yi = jnp.clip(yi, 0, w - 1)
+            xi = jnp.clip(xi, 0, w - 1)
+            return flat[(ti * w + yi) * w + xi]
+
+        t0 = jnp.floor(fdt).astype(jnp.int32)
+        y0 = jnp.floor(fdy).astype(jnp.int32)
+        x0 = jnp.floor(fdx).astype(jnp.int32)
+        at_ = fdt - t0
+        ay = fdy - y0
+        ax = fdx - x0
+        out = 0.0
+        for dt_ in (0, 1):
+            for dy_ in (0, 1):
+                for dx_ in (0, 1):
+                    wgt = ((at_ if dt_ else 1 - at_)
+                           * (ay if dy_ else 1 - ay)
+                           * (ax if dx_ else 1 - ax))
+                    out = out + wgt * at(t0 + dt_, y0 + dy_, x0 + dx_)
+        return out
+
+    score = tri(vol.scores)
+    count = tri(vol.counts)
+    return score / jnp.maximum(count, 1.0)

@@ -1,0 +1,61 @@
+"""Sharding tests on the virtual 8-device CPU mesh.
+
+The reference's analog: verifying the accelerator on scaled-down fixtures
+before real hardware (dissertation p.46 §15.3.4). Here: all collective paths
+must compile and agree with the single-device reference implementations.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lidar_slam_tpu.config import DEFAULT_CONFIG, ParticleConfig
+from lidar_slam_tpu.models import fastslam
+from lidar_slam_tpu.parallel import mesh as mesh_lib
+from lidar_slam_tpu.parallel import resampling, sharded
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_distributed_resample_matches_single_device():
+    mesh = mesh_lib.make_mesh(n_particles_shards=8, n_map_shards=1)
+    p = 64
+    key = jax.random.PRNGKey(0)
+    logw = jax.random.normal(key, (p,))
+    poses = jax.random.normal(jax.random.fold_in(key, 1), (p, 3))
+    prev = jax.random.normal(jax.random.fold_in(key, 2), (p, 3))
+    u0 = jnp.float32(0.37)
+
+    new_poses, new_prev, idx = resampling.distributed_systematic_resample(
+        mesh, logw, poses, prev, u0)
+
+    # single-device reference: same comb, same cdf
+    w = jax.nn.softmax(logw)
+    cdf = jnp.cumsum(w)
+    u = (u0 + jnp.arange(p, dtype=jnp.float32)) / p
+    want_idx = np.clip(np.searchsorted(np.asarray(cdf), np.asarray(u)), 0, p - 1)
+    np.testing.assert_array_equal(np.asarray(idx), want_idx)
+    np.testing.assert_allclose(np.asarray(new_poses),
+                               np.asarray(poses)[want_idx], rtol=1e-6)
+
+
+def test_sharded_pf_step_runs_and_tracks(small_dataset):
+    ranges, gt = small_dataset
+    mesh = mesh_lib.make_mesh(n_particles_shards=8, n_map_shards=1)
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG,
+        particles=ParticleConfig(n_particles=32, vol_theta_bins=5, vol_half=4))
+    path, state = sharded.run_sharded_pf(ranges[:40], cfg, mesh, seed=0)
+    from lidar_slam_tpu.utils.metrics import ate
+    err = ate(path, gt[:40])
+    assert err < 0.25, f"sharded PF lost track: ATE {err:.3f}"
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
