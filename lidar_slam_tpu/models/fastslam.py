@@ -151,7 +151,7 @@ def pf_step(state: ParticleState, ranges: jnp.ndarray, cfg: SlamConfig,
         pmap = gridmap.append_points(state.pmap, wx, wy, novel, est_pose)
         local = gridmap.extract_local_map(pmap, wx, wy, scan.valid, g.border_size)
         _, fine = gridmap.rasterize_dual(local, g)
-        fm = edt_ops.edt_clamped(fine.occ, int(g.max_dist_px))
+        fm = edt_ops.edt(fine.occ, int(g.max_dist_px))
         return pmap, fine, fm, jnp.bool_(True)
 
     def keep(_):

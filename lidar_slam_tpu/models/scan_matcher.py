@@ -97,8 +97,8 @@ def slam_step(state: SlamState, ranges: jnp.ndarray, cfg: SlamConfig,
         local = gridmap.extract_local_map(state.pmap, wx, wy, scan.valid,
                                           g.border_size)
         coarse, fine = gridmap.rasterize_dual(local, g)
-        cm = edt_ops.edt_clamped(coarse.occ, int(g.max_dist_px))
-        fm = edt_ops.edt_clamped(fine.occ, int(g.max_dist_px))
+        cm = edt_ops.edt(coarse.occ, int(g.max_dist_px))
+        fm = edt_ops.edt(fine.occ, int(g.max_dist_px))
         return coarse, fine, cm, fm, wx, wy
 
     def keep(_):

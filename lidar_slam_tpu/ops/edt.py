@@ -64,6 +64,19 @@ def edt_clamped(occ: jnp.ndarray, max_dist: int = 10) -> jnp.ndarray:
     return jnp.where(occ, jnp.float32(0.0), dist)
 
 
+def edt(occ: jnp.ndarray, max_dist: int = 10) -> jnp.ndarray:
+    """Backend dispatcher: the fused Pallas kernel on TPU, jnp elsewhere.
+
+    (Both are exact; the Pallas kernel keeps the whole transform VMEM-resident
+    — the role the reference's FPGA co-processor played, SURVEY §2.2 N3/N4.)
+    """
+    if jax.default_backend() == "tpu":
+        from lidar_slam_tpu.ops import pallas_edt
+
+        return pallas_edt.edt_clamped_pallas(occ, max_dist)
+    return edt_clamped(occ, max_dist)
+
+
 def edt_clamped_reference(occ: np.ndarray, max_dist: float = 10.0) -> np.ndarray:
     """Brute-force oracle with the reference's exact update rule.
 
