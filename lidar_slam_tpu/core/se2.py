@@ -49,6 +49,19 @@ def compose(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([x, y, p1[..., 2] + p2[..., 2]], axis=-1)
 
 
+def ref_to_std(pose: jnp.ndarray) -> jnp.ndarray:
+    """Reference-convention pose -> standard pose (heading = -theta).
+
+    ``transform_ref`` rotates by R(-theta), so a reference pose (x, y, t)
+    denotes the same rigid transform as a standard pose (x, y, -t). The
+    pose-graph backend works in the standard convention; frontends convert
+    at the boundary."""
+    return pose * jnp.asarray([1.0, 1.0, -1.0], pose.dtype)
+
+
+std_to_ref = ref_to_std  # involution
+
+
 def between(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
     """Relative pose p1 ⊖ p2: the transform taking p1's frame to p2's."""
     dx = p2[..., 0] - p1[..., 0]

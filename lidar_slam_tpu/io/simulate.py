@@ -118,9 +118,16 @@ def raycast(world: World, pose: np.ndarray, angles: np.ndarray,
     return np.where(np.isfinite(r) & (r <= max_range), r, 0.0)
 
 
+# A closed loop in the left room (revisits the start) — exercises loop closure.
+LOOP_WAYPOINTS = np.asarray([
+    (3.0, 3.0), (2.8, 8.0), (3.0, 12.0), (5.5, 12.5), (6.5, 9.0),
+    (6.2, 5.0), (4.8, 3.2), (3.2, 3.2), (2.9, 7.0), (3.0, 10.0),
+], np.float64)
+
+
 def generate_dataset(n_scans: int = 1000, seed: int = 0,
                      noise_std: float = 0.008, dropout: float = 0.01,
-                     speed: float = 0.35,
+                     speed: float = 0.35, waypoints: np.ndarray | None = None,
                      cfg: LidarConfig = LidarConfig()) -> tuple[np.ndarray, np.ndarray]:
     """Returns (ranges (T, 1079) f32, ground-truth poses (T, 3) f32).
 
@@ -130,7 +137,9 @@ def generate_dataset(n_scans: int = 1000, seed: int = 0,
     rng = np.random.default_rng(seed)
     world = museum_world()
     angles = beam_angles(cfg)
-    traj = smooth_trajectory(DEFAULT_WAYPOINTS, speed=speed)
+    if waypoints is None:
+        waypoints = DEFAULT_WAYPOINTS
+    traj = smooth_trajectory(waypoints, speed=speed)
     if len(traj) < n_scans:
         raise ValueError(f"trajectory supports {len(traj)} scans < {n_scans}")
     traj = traj[:n_scans]
