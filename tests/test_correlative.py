@@ -1,0 +1,77 @@
+"""Correlation-volume scoring: math properties + pallas/jnp equivalence."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from lidar_slam_tpu.core.gridmap import OccGrid
+from lidar_slam_tpu.ops import correlative
+
+
+def _toy_grid(seed=0, s=64):
+    rng = np.random.default_rng(seed)
+    metric = jnp.asarray(rng.random((s, s)), jnp.float32) * 10.0
+    grid = OccGrid(occ=jnp.zeros((s, s), jnp.bool_),
+                   n_rows=jnp.int32(s - 4), n_cols=jnp.int32(s - 6),
+                   origin=jnp.asarray([-3.0, -3.0], jnp.float32), pixel=0.1)
+    n = 64
+    scan_x = jnp.asarray(rng.uniform(-2, 2, n), jnp.float32)
+    scan_y = jnp.asarray(rng.uniform(-2, 2, n), jnp.float32)
+    valid = jnp.asarray(rng.random(n) < 0.9)
+    return metric, grid, scan_x, scan_y, valid
+
+
+def test_volume_matches_direct_scoring():
+    """Volume value at integer offsets == direct masked gather scoring."""
+    metric, grid, sx, sy, valid = _toy_grid()
+    base = jnp.asarray([0.2, -0.1, 0.3], jnp.float32)
+    vol = correlative.build_score_volume(metric, grid, sx, sy, valid, base,
+                                         n_theta=3, half=4, impl="jnp")
+    # direct: project at the base pose, sum metric under shifted cells
+    from lidar_slam_tpu.ops import matching
+
+    cell_x, cell_y = matching.project_scan(sx, sy, base[None], grid)
+    for dy, dx in [(0, 0), (2, -1), (-3, 3)]:
+        cx = cell_x[0] + dx
+        cy = cell_y[0] + dy
+        inb = (cx > 1) & (cy > 1) & (cx < grid.n_cols) & (cy < grid.n_rows) & valid
+        vals = metric[jnp.clip(cy - 1, 0, 63), jnp.clip(cx - 1, 0, 63)]
+        want = float(jnp.sum(jnp.where(inb, vals, 0.0)))
+        got = float(vol.scores[1, 4 + dy, 4 + dx])
+        assert got == pytest.approx(want, rel=1e-5), (dy, dx)
+        assert float(vol.counts[1, 4 + dy, 4 + dx]) == pytest.approx(
+            float(jnp.sum(inb)), rel=1e-6)
+
+
+def test_pallas_volume_matches_jnp():
+    metric, grid, sx, sy, valid = _toy_grid(seed=3)
+    base = jnp.asarray([-0.3, 0.4, -0.2], jnp.float32)
+    vol_jnp = correlative.build_score_volume(metric, grid, sx, sy, valid, base,
+                                             n_theta=5, half=4, impl="jnp")
+    with pltpu.force_tpu_interpret_mode():
+        vol_pl = correlative.build_score_volume(metric, grid, sx, sy, valid,
+                                                base, n_theta=5, half=4,
+                                                impl="pallas")
+    np.testing.assert_allclose(np.asarray(vol_pl.scores),
+                               np.asarray(vol_jnp.scores), rtol=2e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(vol_pl.counts),
+                               np.asarray(vol_jnp.counts), rtol=1e-6, atol=1e-3)
+
+
+def test_trilinear_lookup_interpolates():
+    metric, grid, sx, sy, valid = _toy_grid(seed=5)
+    base = jnp.asarray([0.0, 0.0, 0.0], jnp.float32)
+    vol = correlative.build_score_volume(metric, grid, sx, sy, valid, base,
+                                         n_theta=3, half=4, impl="jnp")
+    # at exactly the base pose the lookup hits the volume center
+    d0 = float(correlative.lookup_avg_distance(vol, base[None])[0])
+    want = float(vol.scores[1, 4, 4] / jnp.maximum(vol.counts[1, 4, 4], 1.0))
+    assert d0 == pytest.approx(want, rel=1e-5)
+    # halfway to the next cell: average of the two cell scores (bilinear)
+    half_px = grid.pixel / 2.0
+    d_half = float(correlative.lookup_avg_distance(
+        vol, jnp.asarray([[half_px, 0.0, 0.0]]))[0])
+    s_mid = 0.5 * (vol.scores[1, 4, 4] + vol.scores[1, 4, 5])
+    c_mid = 0.5 * (vol.counts[1, 4, 4] + vol.counts[1, 4, 5])
+    assert d_half == pytest.approx(float(s_mid / c_mid), rel=1e-4)
