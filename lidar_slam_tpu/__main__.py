@@ -1,0 +1,191 @@
+"""Command-line interface.
+
+The reference has no CLI at all — every parameter is a compile-time constant
+(dataset path main.c:842, resolutions main.c:832-833, row counts main.c:6) and
+each variant is a separately edited copy of the program. Here one binary runs
+every pipeline:
+
+  python -m lidar_slam_tpu simulate --scans 1000 --out data/museum.csv
+  python -m lidar_slam_tpu run --mode fidelity --scans 500 --render map.png
+  python -m lidar_slam_tpu run --mode pf --particles 4096
+  python -m lidar_slam_tpu run --mode graph --scans 700 --loop
+  python -m lidar_slam_tpu oracle --scans 500          # C++ golden pipeline
+  python -m lidar_slam_tpu serve --port 8080           # HTTP scan server
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _load_ranges(args) -> tuple[np.ndarray, np.ndarray | None]:
+    from lidar_slam_tpu.io import dataset, simulate
+
+    if args.dataset:
+        from lidar_slam_tpu import native
+
+        n_rows = args.scans or sum(1 for _ in open(args.dataset))
+        return native.read_csv(args.dataset, n_rows), None
+    n = args.scans or 1000
+    if getattr(args, "loop", False):
+        ranges, gt = simulate.generate_dataset(
+            n_scans=n, seed=args.seed, waypoints=simulate.LOOP_WAYPOINTS)
+    else:
+        ranges, gt, _ = dataset.ensure_dataset(n_scans=n, seed=args.seed)
+    return np.asarray(ranges), np.asarray(gt)
+
+
+def cmd_simulate(args) -> int:
+    from lidar_slam_tpu.io import dataset, simulate
+
+    wps = simulate.LOOP_WAYPOINTS if args.loop else None
+    ranges, gt = simulate.generate_dataset(n_scans=args.scans or 1000,
+                                           seed=args.seed, waypoints=wps)
+    out = args.out or "lidar_dataset.csv"
+    dataset.save_csv(out, ranges)
+    np.savetxt(out.replace(".csv", "_gt.csv"), gt, delimiter=",", fmt="%.6f")
+    print(f"wrote {ranges.shape[0]} scans to {out}")
+    return 0
+
+
+def cmd_run(args) -> int:
+    from lidar_slam_tpu.config import DEFAULT_CONFIG, ParticleConfig
+    from lidar_slam_tpu.utils import viz
+    from lidar_slam_tpu.utils.metrics import ate
+
+    ranges, gt = _load_ranges(args)
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG,
+        particles=ParticleConfig(n_particles=args.particles))
+
+    t0 = time.time()
+    if args.mode == "fidelity":
+        from lidar_slam_tpu.models import scan_matcher
+
+        path, state = scan_matcher.run_scan(ranges, cfg)
+        path = np.asarray(path)
+        map_xy = np.asarray(state.pmap.xy[: int(state.pmap.size)])
+    elif args.mode == "pf":
+        from lidar_slam_tpu.models import fastslam
+
+        path, state = fastslam.run_pf(ranges, cfg, seed=args.seed)
+        path = np.asarray(path)
+        map_xy = np.asarray(state.pmap.xy[: int(state.pmap.size)])
+    elif args.mode == "graph":
+        from lidar_slam_tpu.models.graph_slam import GraphSlam
+
+        gs = GraphSlam(cfg)
+        path, opt_kf = gs.run(ranges)
+        map_xy = np.asarray(gs.kf.x[: int(gs.kf.count)]).reshape(-1, 1)
+        # world-frame keyframe points from optimized poses
+        pts = []
+        for k in range(int(gs.kf.count)):
+            import jax.numpy as jnp
+
+            from lidar_slam_tpu.core import se2
+
+            wx, wy = se2.transform_ref(gs.kf.x[k], gs.kf.y[k],
+                                       jnp.asarray(opt_kf[k]))
+            v = np.asarray(gs.kf.valid[k])
+            pts.append(np.stack([np.asarray(wx)[v], np.asarray(wy)[v]], 1))
+        map_xy = np.concatenate(pts) if pts else np.zeros((0, 2))
+        print(f"keyframes {int(gs.kf.count)}  loop closures {len(gs.closures)}")
+    else:
+        raise SystemExit(f"unknown mode {args.mode}")
+    dt = time.time() - t0
+
+    n = len(path)
+    print(f"{args.mode}: {n} scans in {dt:.2f}s = {n / dt:.1f} scans/s")
+    if gt is not None and len(gt) == n:
+        print(f"ATE vs ground truth: {ate(path, gt):.4f} m")
+    if args.out_map:
+        viz.map_to_csv(map_xy, args.out_map)
+        print(f"map ({len(map_xy)} points) -> {args.out_map}")
+    if args.render:
+        viz.render_map(map_xy, path=path, out_path=args.render,
+                       gt=gt if gt is not None and len(gt) == n else None,
+                       title=f"{args.mode} | {n} scans")
+        print(f"render -> {args.render}")
+    return 0
+
+
+def cmd_oracle(args) -> int:
+    from lidar_slam_tpu import native
+    from lidar_slam_tpu.utils.metrics import ate
+
+    ranges, gt = _load_ranges(args)
+    t0 = time.time()
+    path, omap = native.run_oracle(ranges, use_naive_edt=args.naive_edt)
+    dt = time.time() - t0
+    print(f"oracle: {len(path)} scans in {dt:.2f}s = {len(path) / dt:.1f} scans/s"
+          f" ({'naive' if args.naive_edt else 'separable'} EDT)")
+    if gt is not None:
+        print(f"ATE vs ground truth: {ate(path, gt):.4f} m")
+    if args.out_map:
+        np.savetxt(args.out_map, omap, delimiter=",", fmt="%f")
+    return 0
+
+
+def cmd_serve(args) -> int:
+    from lidar_slam_tpu.io import server
+
+    ranges, _ = _load_ranges(args)
+    srv = server.ScanServer(ranges, port=args.port).start()
+    print(f"serving {len(ranges)} scans at {srv.url} (?param=N; Ctrl-C to stop)")
+    try:
+        while True:
+            time.sleep(1)
+    except KeyboardInterrupt:
+        srv.stop()
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="lidar_slam_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--scans", type=int, default=None)
+        sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument("--dataset", type=str, default=None,
+                        help="CSV of range rows (default: synthesize)")
+        sp.add_argument("--loop", action="store_true",
+                        help="use the loop-closure trajectory")
+
+    sp = sub.add_parser("simulate", help="generate a synthetic dataset CSV")
+    common(sp)
+    sp.add_argument("--out", type=str, default=None)
+    sp.set_defaults(fn=cmd_simulate)
+
+    sp = sub.add_parser("run", help="run a SLAM pipeline")
+    common(sp)
+    sp.add_argument("--mode", choices=["fidelity", "pf", "graph"],
+                    default="fidelity")
+    sp.add_argument("--particles", type=int, default=1024)
+    sp.add_argument("--out-map", type=str, default=None)
+    sp.add_argument("--render", type=str, default=None)
+    sp.set_defaults(fn=cmd_run)
+
+    sp = sub.add_parser("oracle", help="run the native C++ golden pipeline")
+    common(sp)
+    sp.add_argument("--naive-edt", action="store_true")
+    sp.add_argument("--out-map", type=str, default=None)
+    sp.set_defaults(fn=cmd_oracle)
+
+    sp = sub.add_parser("serve", help="serve scans over HTTP")
+    common(sp)
+    sp.add_argument("--port", type=int, default=8080)
+    sp.set_defaults(fn=cmd_serve)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

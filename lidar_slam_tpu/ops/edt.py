@@ -77,6 +77,39 @@ def edt(occ: jnp.ndarray, max_dist: int = 10) -> jnp.ndarray:
     return edt_clamped(occ, max_dist)
 
 
+@functools.partial(jax.jit, static_argnames=("max_dist",))
+def edt_clamped_scatter_variant(occ: jnp.ndarray, max_dist: int = 10) -> jnp.ndarray:
+    """The accelerated/HLS variant's EDT (reference C8b) — scatter form.
+
+    ``main_accelerated.c:215-284`` (and the standalone HLS kernel) compute
+    the transform obstacle-outward: init all cells to MAX_DIST, then each
+    occupied cell relaxes every cell via ``d2 < distance^2``. An occupied
+    cell's own dx=dy=0 term relaxes it to 0, so the scatter form is
+    *semantically identical* to the canonical gather form — the dataflow
+    difference only matters for hardware pipelining (loop unroll/partition
+    in HLS, dissertation p.46 Table 7). We verified the equivalence and
+    implement it without the occupied-cell branch; a test pins
+    ``edt_clamped_scatter_variant == edt_clamped`` on random grids.
+    """
+    occ = occ.astype(jnp.bool_)
+    # identical to edt_clamped except occupied cells are not forced to 0 by a
+    # branch — the dx=dy=0 term produces it
+    h, w = occ.shape
+    r = int(max_dist)
+    max_f = jnp.float32(float(max_dist))
+    occ_pad = jnp.pad(occ, ((0, 0), (r, r)), constant_values=False)
+    d1 = jnp.full((h, w), _INF)
+    for dx in range(-r, r + 1):
+        shifted = jax.lax.dynamic_slice(occ_pad, (0, dx + r), (h, w))
+        d1 = jnp.minimum(d1, jnp.where(shifted, jnp.float32(dx * dx), _INF))
+    d1_pad = jnp.pad(d1, ((r, r), (0, 0)), constant_values=_INF)
+    d2 = jnp.full((h, w), _INF)
+    for dy in range(-r, r + 1):
+        shifted = jax.lax.dynamic_slice(d1_pad, (dy + r, 0), (h, w))
+        d2 = jnp.minimum(d2, shifted + jnp.float32(dy * dy))
+    return jnp.minimum(jnp.sqrt(jnp.minimum(d2, _INF)), max_f)
+
+
 def edt_clamped_reference(occ: np.ndarray, max_dist: float = 10.0) -> np.ndarray:
     """Brute-force oracle with the reference's exact update rule.
 

@@ -1,0 +1,96 @@
+"""Map-block sharded EDT: the clamped distance transform over a device mesh.
+
+SURVEY §7: "the grid EDT tiles across devices with halo exchange (the 10 px
+clamp bounds the halo)". The separable clamped EDT decomposes perfectly under
+row-block sharding:
+
+- pass 1 (windowed min along x) is row-local: zero communication;
+- pass 2 (windowed min along y) needs exactly R = max_dist rows of the
+  pass-1 result from each neighbor: one bidirectional ``ppermute`` halo
+  exchange over ICI, R * S * 4 bytes per direction — independent of the
+  number of shards, so the transform scales to arbitrarily large maps
+  (the reference's fixed 400x400 cap exists because its EDT is O(N^4);
+  here the cap is total HBM).
+
+Written with ``shard_map`` so the collective is explicit; tested against the
+single-device kernel on the virtual 8-device CPU mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+_INF = 3.0e38
+
+
+def _pass1_rows(occ: jnp.ndarray, r: int) -> jnp.ndarray:
+    """d1[y, x] = min over |dx|<=r of (occ[y, x+dx] ? dx^2 : INF). Local."""
+    h, w = occ.shape
+    occ_pad = jnp.pad(occ, ((0, 0), (r, r)), constant_values=False)
+    d1 = jnp.full((h, w), jnp.float32(_INF))
+    for dx in range(-r, r + 1):
+        shifted = jax.lax.dynamic_slice(occ_pad, (0, dx + r), (h, w))
+        d1 = jnp.minimum(d1, jnp.where(shifted, jnp.float32(dx * dx),
+                                       jnp.float32(_INF)))
+    return d1
+
+
+def _pass2_cols(d1_ext: jnp.ndarray, r: int) -> jnp.ndarray:
+    """d2 over the interior rows of a (h + 2r, w) extended block."""
+    h = d1_ext.shape[0] - 2 * r
+    w = d1_ext.shape[1]
+    d2 = jnp.full((h, w), jnp.float32(_INF))
+    for dy in range(-r, r + 1):
+        shifted = jax.lax.dynamic_slice(d1_ext, (dy + r, 0), (h, w))
+        d2 = jnp.minimum(d2, shifted + jnp.float32(dy * dy))
+    return d2
+
+
+def _edt_shard_kernel(occ_local: jnp.ndarray, *, r: int, max_dist: float,
+                      axis: str) -> jnp.ndarray:
+    occ_local = occ_local.astype(jnp.bool_)
+    d1 = _pass1_rows(occ_local, r)
+    w = d1.shape[1]
+    n = jax.lax.axis_size(axis)
+    idx = jax.lax.axis_index(axis)
+
+    # halo exchange: my bottom rows -> next shard's top halo, my top rows ->
+    # previous shard's bottom halo. ppermute zero-fills edge shards; zeros are
+    # valid d1 values, so edge halos are overwritten with INF by index masks.
+    down = [(i, i + 1) for i in range(n - 1)]
+    up = [(i, i - 1) for i in range(1, n)]
+    halo_top = jax.lax.ppermute(d1[-r:], axis, down)   # from shard idx-1
+    halo_bot = jax.lax.ppermute(d1[:r], axis, up)      # from shard idx+1
+    inf = jnp.full((r, w), jnp.float32(_INF))
+    halo_top = jnp.where(idx == 0, inf, halo_top)
+    halo_bot = jnp.where(idx == n - 1, inf, halo_bot)
+
+    d1_ext = jnp.concatenate([halo_top, d1, halo_bot], axis=0)
+    d2 = _pass2_cols(d1_ext, r)
+    dist = jnp.minimum(jnp.sqrt(jnp.minimum(d2, jnp.float32(_INF))),
+                       jnp.float32(max_dist))
+    return jnp.where(occ_local, jnp.float32(0.0), dist)
+
+
+def edt_sharded(occ: jnp.ndarray, mesh: Mesh, axis: str = "map",
+                max_dist: int = 10) -> jnp.ndarray:
+    """Clamped EDT of a row-sharded occupancy grid. Returns the sharded field.
+
+    ``occ`` (S, S) must be shardable into equal row blocks over ``axis``,
+    each at least ``max_dist`` rows tall (the one-hop halo assumption; a
+    multi-hop exchange would lift it, but a shard thinner than the clamp
+    radius is never a sensible decomposition).
+    """
+    n = mesh.shape[axis]
+    if occ.shape[0] // n < max_dist:
+        raise ValueError(
+            f"shard height {occ.shape[0]}//{n} < max_dist {max_dist}: "
+            "one-hop halo exchange needs shard_height >= max_dist")
+    kernel = functools.partial(_edt_shard_kernel, r=int(max_dist),
+                               max_dist=float(max_dist), axis=axis)
+    return jax.shard_map(kernel, mesh=mesh,
+                         in_specs=P(axis), out_specs=P(axis))(occ)

@@ -46,3 +46,15 @@ def test_edt_clamp_boundary():
     assert out[0, 10] == pytest.approx(10.0)
     assert out[1, 10] == pytest.approx(10.0)
     assert out[0, 9] == pytest.approx(9.0)
+
+
+def test_scatter_variant_equals_gather_form():
+    """The accelerated variant's obstacle-outward EDT (main_accelerated.c)
+    is semantically identical to the canonical gather form — the self-term
+    relaxes occupied cells to 0. Pin the verified equivalence."""
+    rng = np.random.default_rng(7)
+    for density in (0.0, 0.02, 0.3):
+        occ = rng.random((48, 80)) < density
+        a = np.asarray(edt.edt_clamped(occ, 10))
+        b = np.asarray(edt.edt_clamped_scatter_variant(occ, 10))
+        np.testing.assert_allclose(a, b, atol=1e-6)
