@@ -1,1 +1,8 @@
-from lidar_slam_tpu.models import scan_matcher  # noqa: F401
+from lidar_slam_tpu.models import (  # noqa: F401
+    ba,
+    ekf_slam,
+    fastslam,
+    graph_slam,
+    posegraph,
+    scan_matcher,
+)

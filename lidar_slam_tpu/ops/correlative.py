@@ -105,12 +105,13 @@ def build_score_volume(metric: jnp.ndarray, grid: OccGrid,
     cx0 = roundf_like(rx + offx).astype(jnp.int32)    # (T, N)
     cy0 = roundf_like(ry + offy).astype(jnp.int32)
 
-    # 'auto' currently resolves to the jnp row-slab path on every backend:
-    # it beats the Pallas correlation kernel on v5e (3.0 vs 3.8 ms at the
-    # default volume size) because the kernel is VPU-reduction-bound — see
-    # the note in ops/pallas_match.py. The kernel stays as the independently
-    # tested second implementation.
-    if impl == "pallas":
+    # 'auto': the Pallas correlation kernel on TPU, the jnp row-slab path on
+    # CPU. The jnp path's batched one-hot matmul runs ~25% faster per step
+    # on v5e (3.0 vs 3.8 ms) but XLA's compile time for it is pathological
+    # and *variable* (2-10 minutes for the enclosing scan program); the
+    # kernel compiles in seconds, deterministically. Pass impl='jnp' to
+    # trade compile time for the last bit of step time.
+    if impl == "pallas" or (impl == "auto" and jax.default_backend() == "tpu"):
         scores, counts = _volume_pallas(metric, grid, cx0, cy0, valid, half)
         return ScoreVolume(scores=scores, counts=counts, base_pose=base_pose,
                            theta_step=float(theta_step), ipixel=ipixel,
@@ -129,9 +130,15 @@ def build_score_volume(metric: jnp.ndarray, grid: OccGrid,
     # --- banded one-hot column select on the MXU: (TN, W, S) @ (TN, S, W)
     col_targets = flat_cx[:, None] + (jnp.arange(w) - half)[None, :]   # (TN, W)
     col_ok = (col_targets >= 1) & (col_targets < grid.n_cols - 1)
+    # One-hot column-select matmul. On TPU the operands go through bf16 —
+    # the one-hot is exact in bf16 and XLA compiles the f32 batched matmul
+    # pathologically slowly (~30x compile time); the ~0.4% value rounding on
+    # gathered distances is far below the scoring noise floor. On CPU keep
+    # f32 so tests can pin exact equality against direct gathers.
+    mm_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
     onehot = (jnp.arange(s)[None, :, None] == col_targets[:, None, :])
-    onehot = (onehot & col_ok[:, None, :]).astype(jnp.float32)         # (TN, S, W)
-    patches = jnp.einsum("brw,bwc->brc", rows, onehot,
+    onehot = (onehot & col_ok[:, None, :]).astype(mm_dtype)            # (TN, S, W)
+    patches = jnp.einsum("brw,bwc->brc", rows.astype(mm_dtype), onehot,
                          preferred_element_type=jnp.float32)           # (TN, W, W)
 
     # --- masked accumulation over beams

@@ -48,7 +48,8 @@ def global_particle_mesh(n_map_shards: int = 1):
 
 
 def scaling_report(ranges: np.ndarray, n_particles: int = 1024,
-                   shard_counts=(1, 2, 4, 8), n_scans: int = 60) -> dict:
+                   shard_counts=(1, 2, 4, 8), n_scans: int = 60,
+                   **particle_overrides) -> dict:
     """Throughput at several particle-shard counts (for the scaling table).
 
     On real multi-chip hardware this measures ICI scaling; on the virtual
@@ -71,7 +72,8 @@ def scaling_report(ranges: np.ndarray, n_particles: int = 1024,
         mesh = mesh_lib.make_mesh(n_particles_shards=d, n_map_shards=1,
                                   devices=jax.devices()[:d])
         cfg = dataclasses.replace(
-            DEFAULT_CONFIG, particles=ParticleConfig(n_particles=n_particles))
+            DEFAULT_CONFIG, particles=ParticleConfig(n_particles=n_particles,
+                                                     **particle_overrides))
         step, place = sharded.make_sharded_pf_step(cfg, mesh)
         state = place(fastslam.init_particles(jnp.asarray(ranges[0]), cfg))
         state, est = step(state, jnp.asarray(ranges[1]))  # compile

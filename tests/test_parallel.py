@@ -59,3 +59,14 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_scaling_report_runs_at_all_shard_counts(small_dataset):
+    from lidar_slam_tpu.parallel import multihost
+
+    ranges, _ = small_dataset
+    results = multihost.scaling_report(ranges, n_particles=64,
+                                       shard_counts=(1, 2, 4), n_scans=8,
+                                       vol_theta_bins=5, vol_half=4)
+    assert set(results) == {1, 2, 4}
+    assert all(v > 0 for v in results.values())

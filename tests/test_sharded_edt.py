@@ -18,7 +18,7 @@ def map_mesh():
 
 
 @pytest.mark.parametrize("size,density,seed", [(128, 0.05, 1), (160, 0.02, 0),
-                                               (400, 0.004, 2)])
+                                               (240, 0.008, 2)])
 def test_sharded_edt_matches_single_device(map_mesh, size, density, seed):
     rng = np.random.default_rng(seed)
     occ = rng.random((size, size)) < density
