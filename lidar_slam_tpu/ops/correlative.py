@@ -58,14 +58,24 @@ def _volume_pallas(metric, grid: OccGrid, cx0, cy0, valid, half: int):
            & (col >= 1) & (col < grid.n_cols - 1)).astype(jnp.float32)
     metric_pad = jnp.zeros((sp_r, sp_c), jnp.float32).at[half:half + s,
                                                          half:half + s].set(metric * ind)
-    ind_pad = jnp.zeros((sp_r, sp_c), jnp.float32).at[half:half + s,
-                                                      half:half + s].set(ind)
 
     t_idx = jnp.broadcast_to(jnp.arange(t)[:, None], (t, n))
     hist = jnp.zeros((t, sp_r, sp_c), jnp.float32)
     vf = jnp.broadcast_to(valid.astype(jnp.float32)[None, :], (t, n))
     hist = hist.at[t_idx, cy0 + half, cx0 + half].add(vf, mode="drop")
-    return pallas_match.correlate_volume(hist, metric_pad, ind_pad, half)
+    scores = pallas_match.correlate_volume(hist, metric_pad, half)
+
+    # Count volume analytically: the in-bounds test separates into row and
+    # column conditions, so counts[t, dy, dx] = sum_n row_ok * col_ok is a
+    # tiny (T,N,W)x(T,N,W) mask einsum — no correlation needed.
+    offsets = jnp.arange(2 * half + 1) - half
+    row_idx = cy0[..., None] + offsets                 # (T, N, W)
+    col_idx = cx0[..., None] + offsets
+    row_ok = ((row_idx >= 1) & (row_idx < grid.n_rows - 1)
+              & valid[None, :, None]).astype(jnp.float32)
+    col_ok = ((col_idx >= 1) & (col_idx < grid.n_cols - 1)).astype(jnp.float32)
+    counts = jnp.einsum("tnr,tnc->trc", row_ok, col_ok)
+    return scores, counts
 
 
 class ScoreVolume(NamedTuple):

@@ -27,26 +27,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _corr_kernel(hist_ref, metric_ref, inb_ref, scores_ref, counts_ref,
-                 *, half: int):
-    """One program per theta bin: correlate hist[t] against both fields.
+def _corr_kernel(hist_ref, metric_ref, scores_ref, *, half: int):
+    """One program per theta bin: correlate hist[t] against the masked field.
 
     Inputs are zero-padded by >= half on every side, so circular rolls wrap
     only into zeros — no edge masks needed (see correlate_volume). The
     offset loop uses fori_loop + dynamic rolls (a statically unrolled
     (2R+1)^2 version takes ~8 minutes to compile; this compiles in seconds).
+    The companion count volume is analytic (separable in dy/dx) and is
+    computed outside as a tiny mask einsum — only the score correlation
+    needs the field.
 
-    NOTE on performance: this kernel is reduction-bound on the VPU (two
-    full-grid multiply-reduces per offset). An MXU formulation (stack the
-    bins, contract the flattened grid per offset) would be ~5x faster but
-    needs a cross-lane reshape Mosaic does not support ("unsupported shape
-    cast"); until then the XLA row-slab path in ``ops/correlative`` is the
-    default on all backends and this kernel is kept as the independent
-    second implementation (and the seed of the future fused version).
+    NOTE on performance: the kernel is reduction-bound on the VPU (one
+    full-grid multiply-reduce per offset). An MXU formulation (stack the
+    bins, contract the flattened grid per offset) would be several times
+    faster but needs a cross-lane reshape Mosaic does not support
+    ("unsupported shape cast"); revisit when it does.
     """
     h = hist_ref[0]                                  # (SP_r, SP_c)
     metric = metric_ref[:]
-    inb = inb_ref[:]
     sp_rows, sp_cols = metric.shape
 
     w = 2 * half + 1
@@ -56,35 +55,28 @@ def _corr_kernel(hist_ref, metric_ref, inb_ref, scores_ref, counts_ref,
     row_id = jax.lax.broadcasted_iota(jnp.int32, (acc_r, acc_c), 0)
     col_id = jax.lax.broadcasted_iota(jnp.int32, (acc_r, acc_c), 1)
 
-    def body_dy(iy, carry):
-        scores, counts = carry
+    def body_dy(iy, scores):
         dy = iy - half
         m_y = pltpu.roll(metric, (-dy) % sp_rows, axis=0)
-        i_y = pltpu.roll(inb, (-dy) % sp_rows, axis=0)
 
-        def body_dx(ix, c2):
-            s2, c2_ = c2
+        def body_dx(ix, s2):
             dx = ix - half
             m_s = pltpu.roll(m_y, (-dx) % sp_cols, axis=1)
-            i_s = pltpu.roll(i_y, (-dx) % sp_cols, axis=1)
             sel = (row_id == iy) & (col_id == ix)
-            s2 = jnp.where(sel, jnp.sum(h * m_s), s2)
-            c2_ = jnp.where(sel, jnp.sum(h * i_s), c2_)
-            return s2, c2_
+            return jnp.where(sel, jnp.sum(h * m_s), s2)
 
-        return jax.lax.fori_loop(0, w, body_dx, (scores, counts))
+        return jax.lax.fori_loop(0, w, body_dx, scores)
 
     zeros = jnp.zeros((acc_r, acc_c), jnp.float32)
-    scores, counts = jax.lax.fori_loop(0, w, body_dy, (zeros, zeros))
+    scores = jax.lax.fori_loop(0, w, body_dy, zeros)
     scores_ref[0] = scores[:w, :w]
-    counts_ref[0] = counts[:w, :w]
 
 
 @functools.partial(jax.jit, static_argnames=("half",))
 def correlate_volume(hist: jnp.ndarray, metric_masked: jnp.ndarray,
-                     inbounds: jnp.ndarray, half: int = 8):
-    """hist (T, S, S) f32, metric_masked/inbounds (S, S) f32 ->
-    (scores (T, W, W), counts (T, W, W)) with W = 2*half+1."""
+                     half: int = 8):
+    """hist (T, SP_r, SP_c) f32, metric_masked (SP_r, SP_c) f32 ->
+    scores (T, W, W) with W = 2*half+1."""
     t, sp_r, sp_c = hist.shape
     w = 2 * half + 1
     kernel = functools.partial(_corr_kernel, half=half)
@@ -95,21 +87,13 @@ def correlate_volume(hist: jnp.ndarray, metric_masked: jnp.ndarray,
             pl.BlockSpec((1, sp_r, sp_c), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((sp_r, sp_c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((sp_r, sp_c), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, w, w), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, w, w), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((t, w, w), jnp.float32),
-            jax.ShapeDtypeStruct((t, w, w), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((1, w, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, w, w), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=t * w * w * sp_r * sp_c * 4,
-            bytes_accessed=(t + 2) * sp_r * sp_c * 4,
+            flops=t * w * w * sp_r * sp_c * 2,
+            bytes_accessed=(t + 1) * sp_r * sp_c * 4,
             transcendentals=0,
         ),
-    )(hist, metric_masked, inbounds)
+    )(hist, metric_masked)
