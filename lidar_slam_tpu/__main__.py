@@ -77,6 +77,23 @@ def cmd_run(args) -> int:
         path, state = fastslam.run_pf(ranges, cfg, seed=args.seed)
         path = np.asarray(path)
         map_xy = np.asarray(state.pmap.xy[: int(state.pmap.size)])
+    elif args.mode == "ekf":
+        from lidar_slam_tpu.io import simulate
+        from lidar_slam_tpu.models import ekf_slam
+
+        odom, obs, vis, gt_e, lms = simulate.generate_ekf_dataset(
+            n_scans=args.scans or 500, seed=args.seed)
+        ecfg = ekf_slam.EkfSlamConfig(n_particles=args.particles,
+                                      max_landmarks=lms.shape[0])
+        path, final = ekf_slam.run_ekf_slam(odom, obs, vis, ecfg)
+        path = np.asarray(path)
+        gt = gt_e
+        est_lms = ekf_slam.landmark_estimates(final)
+        seen = np.asarray(final.lm_seen)
+        errs = np.linalg.norm(est_lms[seen] - lms[seen], axis=1)
+        print(f"landmarks seen {int(seen.sum())}/{len(lms)}; "
+              f"median error {np.median(errs):.3f} m")
+        map_xy = est_lms[seen]
     elif args.mode == "graph":
         from lidar_slam_tpu.models.graph_slam import GraphSlam
 
@@ -165,7 +182,7 @@ def main(argv=None) -> int:
 
     sp = sub.add_parser("run", help="run a SLAM pipeline")
     common(sp)
-    sp.add_argument("--mode", choices=["fidelity", "pf", "graph"],
+    sp.add_argument("--mode", choices=["fidelity", "pf", "ekf", "graph"],
                     default="fidelity")
     sp.add_argument("--particles", type=int, default=1024)
     sp.add_argument("--out-map", type=str, default=None)
