@@ -78,6 +78,11 @@ class ParticleConfig:
     # correlation-volume scoring (ops/correlative.py)
     vol_theta_bins: int = 9         # theta bins at fine_r step
     vol_half: int = 8               # +-pixels covered; window = 2*half+1
+    # gradient-guided proposal refinement (FastSLAM-2.0-style): descend the
+    # interpolated distance field before weighting; 0 disables
+    grad_refine_steps: int = 0
+    grad_step_xy: float = 0.02      # max per-iteration xy move (m)
+    grad_step_theta: float = 0.004  # max per-iteration theta move (rad)
 
 
 @dataclass(frozen=True)

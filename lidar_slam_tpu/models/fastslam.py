@@ -103,6 +103,28 @@ def pf_step(state: ParticleState, ranges: jnp.ndarray, cfg: SlamConfig,
     vol = correlative.build_score_volume(
         state.fine_metric, state.fine, scan.x, scan.y, scan.valid, base,
         n_theta=pc.vol_theta_bins, theta_step=mc.fine_r, half=pc.vol_half)
+    # --- gradient-guided proposal refinement (cf. FastSLAM 2.0 / the
+    # gradient-guided PF literature): the trilinear volume is differentiable,
+    # so each particle descends the interpolated distance field a few capped
+    # steps before weighting. Vmapped value-and-grad = a handful of
+    # small-table lookups per particle.
+    if pc.grad_refine_steps > 0:
+        caps = jnp.asarray([pc.grad_step_xy, pc.grad_step_xy,
+                            pc.grad_step_theta], jnp.float32)
+
+        def dist_of(pose):
+            return correlative.lookup_avg_distance(vol, pose[None])[0]
+
+        grad_fn = jax.vmap(jax.grad(dist_of))
+
+        def descend(poses_c, _):
+            g = grad_fn(poses_c)                               # (P, 3)
+            delta = jnp.clip(-0.01 * g, -caps, caps)
+            return poses_c + delta, None
+
+        prop, _ = jax.lax.scan(descend, prop, None,
+                               length=pc.grad_refine_steps)
+
     avg_dist = correlative.lookup_avg_distance(vol, prop)      # (P,)
     new_poses = prop
 

@@ -46,3 +46,18 @@ def test_pf_tracks_ground_truth(small_dataset):
     err = ate(np.asarray(path), gt)
     assert err < 0.15, f"particle filter lost track: ATE {err:.3f} m"
     assert int(state.pmap.size) > 500  # map actually grew
+
+
+def test_pf_gradient_refinement_runs():
+    """Gradient-guided proposal refinement (opt-in) tracks comparably."""
+    import numpy as np
+
+    from lidar_slam_tpu.io import dataset
+
+    ranges, gt, _ = dataset.ensure_dataset(n_scans=60, seed=3)
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG,
+        particles=ParticleConfig(n_particles=32, vol_theta_bins=5, vol_half=4,
+                                 grad_refine_steps=2))
+    path, _ = fastslam.run_pf(np.asarray(ranges), cfg, seed=0)
+    assert ate(np.asarray(path), np.asarray(gt)) < 0.2
