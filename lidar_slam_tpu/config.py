@@ -75,9 +75,12 @@ class ParticleConfig:
     sigma_theta: float = 0.002      # proposal noise std (rad)
     score_temperature: float = 0.05  # weight = exp(-avg_px_dist/temperature)
     resample_threshold: float = 0.5  # resample when ESS/N below this
-    # correlation-volume scoring (ops/correlative.py)
-    vol_theta_bins: int = 9         # theta bins at fine_r step
-    vol_half: int = 8               # +-pixels covered; window = 2*half+1
+    # correlation-volume scoring (ops/correlative.py). Tuned on the museum
+    # dataset: (7 bins, +-6 px) beats (9, +-8) on both ATE and throughput —
+    # the tighter window regularizes the weighting while the kernel cost
+    # scales with T * W^2.
+    vol_theta_bins: int = 7         # theta bins at fine_r step
+    vol_half: int = 6               # +-pixels covered; window = 2*half+1
     # gradient-guided proposal refinement (FastSLAM-2.0-style): descend the
     # interpolated distance field before weighting; 0 disables
     grad_refine_steps: int = 0
