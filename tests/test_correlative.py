@@ -75,3 +75,28 @@ def test_trilinear_lookup_interpolates():
     s_mid = 0.5 * (vol.scores[1, 4, 4] + vol.scores[1, 4, 5])
     c_mid = 0.5 * (vol.counts[1, 4, 4] + vol.counts[1, 4, 5])
     assert d_half == pytest.approx(float(s_mid / c_mid), rel=1e-4)
+
+
+def test_pallas_volume_large_array_small_region_matches_jnp():
+    """Full-size fixed array with a small active region (the common case)."""
+    rng = np.random.default_rng(9)
+    s = 400
+    metric = jnp.asarray(rng.random((s, s)), jnp.float32) * 10.0
+    grid = OccGrid(occ=jnp.zeros((s, s), jnp.bool_),
+                   n_rows=jnp.int32(120), n_cols=jnp.int32(100),
+                   origin=jnp.asarray([-3.0, -3.0], jnp.float32), pixel=0.1)
+    n = 48
+    sx = jnp.asarray(rng.uniform(0, 6, n), jnp.float32)
+    sy = jnp.asarray(rng.uniform(0, 6, n), jnp.float32)
+    valid = jnp.asarray(rng.random(n) < 0.9)
+    base = jnp.asarray([0.5, 0.5, 0.1], jnp.float32)
+    vol_jnp = correlative.build_score_volume(metric, grid, sx, sy, valid, base,
+                                             n_theta=3, half=2, impl="jnp")
+    with pltpu.force_tpu_interpret_mode():
+        vol_pl = correlative.build_score_volume(metric, grid, sx, sy, valid,
+                                                base, n_theta=3, half=2,
+                                                impl="pallas")
+    np.testing.assert_allclose(np.asarray(vol_pl.scores),
+                               np.asarray(vol_jnp.scores), rtol=2e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(vol_pl.counts),
+                               np.asarray(vol_jnp.counts), atol=1e-3)
