@@ -64,6 +64,7 @@ def cmd_run(args) -> int:
         DEFAULT_CONFIG,
         particles=ParticleConfig(n_particles=args.particles))
 
+    ate_from = 0  # resumed runs only report ATE over the resumed suffix
     t0 = time.time()
     if args.mode == "fidelity":
         from lidar_slam_tpu.models import scan_matcher
@@ -72,10 +73,30 @@ def cmd_run(args) -> int:
         path = np.asarray(path)
         map_xy = np.asarray(state.pmap.xy[: int(state.pmap.size)])
     elif args.mode == "pf":
-        from lidar_slam_tpu.models import fastslam
+        import jax.numpy as jnp
 
-        path, state = fastslam.run_pf(ranges, cfg, seed=args.seed)
-        path = np.asarray(path)
+        from lidar_slam_tpu.models import fastslam
+        from lidar_slam_tpu.utils import checkpoint
+
+        if args.resume:
+            # resume a checkpointed run with the host-loop driver
+            step = fastslam.make_pf_step(cfg)
+            template = fastslam.init_particles(jnp.asarray(ranges[0]), cfg,
+                                               args.seed)
+            state = checkpoint.load_state(args.resume, template)
+            start = ate_from = int(state.step)
+            print(f"resumed from {args.resume} at scan {start}")
+            poses = [np.zeros(3, np.float32)] * start
+            for t in range(start, len(ranges)):
+                state, pose = step(state, jnp.asarray(ranges[t]))
+                poses.append(np.asarray(pose))
+            path = np.stack(poses)
+        else:
+            path, state = fastslam.run_pf(ranges, cfg, seed=args.seed)
+            path = np.asarray(path)
+        if args.checkpoint:
+            checkpoint.save_state(args.checkpoint, state)
+            print(f"checkpoint -> {args.checkpoint}")
         map_xy = np.asarray(state.pmap.xy[: int(state.pmap.size)])
     elif args.mode == "ekf":
         from lidar_slam_tpu.io import simulate
@@ -120,7 +141,7 @@ def cmd_run(args) -> int:
     n = len(path)
     print(f"{args.mode}: {n} scans in {dt:.2f}s = {n / dt:.1f} scans/s")
     if gt is not None and len(gt) == n:
-        print(f"ATE vs ground truth: {ate(path, gt):.4f} m")
+        print(f"ATE vs ground truth: {ate(path[ate_from:], gt[ate_from:]):.4f} m")
     if args.out_map:
         viz.map_to_csv(map_xy, args.out_map)
         print(f"map ({len(map_xy)} points) -> {args.out_map}")
@@ -187,6 +208,10 @@ def main(argv=None) -> int:
     sp.add_argument("--particles", type=int, default=1024)
     sp.add_argument("--out-map", type=str, default=None)
     sp.add_argument("--render", type=str, default=None)
+    sp.add_argument("--checkpoint", type=str, default=None,
+                    help="save final state (pf mode)")
+    sp.add_argument("--resume", type=str, default=None,
+                    help="resume from a saved state (pf mode)")
     sp.set_defaults(fn=cmd_run)
 
     sp = sub.add_parser("oracle", help="run the native C++ golden pipeline")
