@@ -84,8 +84,15 @@ def effective_sample_size(logw: jnp.ndarray) -> jnp.ndarray:
 
 
 def pf_step(state: ParticleState, ranges: jnp.ndarray, cfg: SlamConfig,
-            angles: jnp.ndarray) -> tuple[ParticleState, jnp.ndarray]:
-    """One particle-filter step. Returns (state, best_pose)."""
+            angles: jnp.ndarray, edt_fn=None) -> tuple[ParticleState, jnp.ndarray]:
+    """One particle-filter step. Returns (state, best_pose).
+
+    ``edt_fn(occ, max_dist)`` overrides the EDT implementation — the sharded
+    pipeline passes the map-axis halo-exchange transform here
+    (parallel/sharded_edt.py) so the likelihood field computes across the
+    mesh's 'map' dimension."""
+    if edt_fn is None:
+        edt_fn = edt_ops.edt
     pc, g, m, mc = cfg.particles, cfg.grid, cfg.map, cfg.matcher
     p = pc.n_particles
     scan = sensor.read_scan(ranges, angles, cfg.lidar)
@@ -173,7 +180,7 @@ def pf_step(state: ParticleState, ranges: jnp.ndarray, cfg: SlamConfig,
         pmap = gridmap.append_points(state.pmap, wx, wy, novel, est_pose)
         local = gridmap.extract_local_map(pmap, wx, wy, scan.valid, g.border_size)
         _, fine = gridmap.rasterize_dual(local, g)
-        fm = edt_ops.edt(fine.occ, int(g.max_dist_px))
+        fm = edt_fn(fine.occ, int(g.max_dist_px))
         return pmap, fine, fm, jnp.bool_(True)
 
     def keep(_):

@@ -186,31 +186,50 @@ class GraphSlam:
         return i
 
     # -- main loop ------------------------------------------------------------
-    def run(self, ranges_all: np.ndarray, optimize_every_closure: bool = True):
-        """Returns (path (T,3) ref convention, optimized keyframe poses)."""
+    def run(self, ranges_all: np.ndarray, optimize_every_closure: bool = True,
+            chunk_size: int = 64):
+        """Returns (path (T,3) ref convention, optimized keyframe poses).
+
+        The frontend runs in on-device ``lax.scan`` chunks (per-scan host
+        syncs cost a ~30 ms dispatch round trip on remote-attached TPUs);
+        keyframe bookkeeping and loop closures are handled per chunk — the
+        frontend state never depends on the graph, so chunking only delays
+        closure *detection* by at most one chunk."""
         cfg = self.cfg
         state = scan_matcher.init_state(jnp.asarray(ranges_all[0]), cfg)
         scan0 = sensor.read_scan(jnp.asarray(ranges_all[0]), self.angles, cfg.lidar)
         self._add_keyframe(scan0.x, scan0.y, scan0.valid,
                            np.zeros(3, np.float32))
         path = [np.zeros(3, np.float32)]
-        correction = np.zeros(3, np.float32)
 
-        for t in range(1, len(ranges_all)):
-            ranges = jnp.asarray(ranges_all[t])
-            state, pose = self.step_fn(state, ranges)
-            if bool(state.mini_updated):
-                scan = sensor.read_scan(ranges, self.angles, cfg.lidar)
-                pose_np = np.asarray(pose)
-                k = self._add_keyframe(scan.x, scan.y, scan.valid, pose_np)
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def run_chunk(st, chunk_ranges):
+            def body(s, r):
+                s2, pose = scan_matcher.slam_step(s, r, cfg, self.angles)
+                return s2, (pose, s2.mini_updated)
+
+            return jax.lax.scan(body, st, chunk_ranges)
+
+        t = 1
+        while t < len(ranges_all):
+            chunk = jnp.asarray(ranges_all[t: t + chunk_size])
+            state, (poses_c, flags_c) = run_chunk(state, chunk)
+            poses_c = np.asarray(poses_c)
+            flags_c = np.asarray(flags_c)
+            for i in range(len(chunk)):
+                path.append(poses_c[i])
+                if not flags_c[i]:
+                    continue
+                scan = sensor.read_scan(jnp.asarray(ranges_all[t + i]),
+                                        self.angles, cfg.lidar)
+                k = self._add_keyframe(scan.x, scan.y, scan.valid, poses_c[i])
                 closed = self._try_loop_closure(k, scan.x, scan.y, scan.valid)
                 if closed is not None and optimize_every_closure:
                     self.graph = posegraph.optimize(self.graph, iters=10)
-                    # refresh the host mirror of keyframe poses (ref conv)
                     opt = np.asarray(self.graph.poses[: int(self.kf.count)])
                     self.kf_poses = [
                         np.asarray(se2.std_to_ref(jnp.asarray(p))) for p in opt]
-            path.append(np.asarray(pose))
+            t += len(chunk)
 
         opt_poses = [
             np.asarray(se2.std_to_ref(self.graph.poses[i]))

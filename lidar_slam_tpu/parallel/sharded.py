@@ -35,11 +35,24 @@ def state_shardings(state: fastslam.ParticleState, mesh: Mesh):
 
 
 def make_sharded_pf_step(cfg: SlamConfig, mesh: Mesh):
-    """Returns (step_fn, place_fn): jitted sharded step + state placement."""
+    """Returns (step_fn, place_fn): jitted sharded step + state placement.
+
+    When the mesh has a 'map' axis with more than one shard, the keyframe EDT
+    runs as the halo-exchange sharded transform over that axis (row blocks +
+    ppermute), so both mesh dimensions carry real work: particles on one,
+    map blocks on the other."""
     angles = jnp.asarray(sensor.beam_angles(cfg.lidar))
 
+    edt_fn = None
+    if "map" in mesh.axis_names and mesh.shape["map"] > 1:
+        from lidar_slam_tpu.parallel import sharded_edt
+
+        def edt_fn(occ, max_dist):
+            return sharded_edt.edt_sharded(occ, mesh, "map", max_dist)
+
     def step(state, ranges):
-        new_state, est = fastslam.pf_step(state, ranges, cfg, angles)
+        new_state, est = fastslam.pf_step(state, ranges, cfg, angles,
+                                          edt_fn=edt_fn)
         # Keep particle leaves pinned to the mesh so GSPMD doesn't decide to
         # replicate them between steps.
         spec = state_shardings(new_state, mesh)
