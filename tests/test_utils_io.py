@@ -107,3 +107,29 @@ def test_native_csv_reader(small_dataset, tmp_path):
     ds.save_csv(csv, ranges[:20])
     back = native.read_csv(csv, 20, ranges.shape[1])
     np.testing.assert_allclose(back, ranges[:20], atol=1e-5)
+
+
+def test_stage_timer_accumulates():
+    import time as _time
+
+    t = profiling.StageTimer()
+    with t.stage("a"):
+        _time.sleep(0.01)
+    with t.stage("a"):
+        _time.sleep(0.01)
+    with t.stage("b"):
+        pass
+    assert t.counts["a"] == 2 and t.counts["b"] == 1
+    assert t.totals["a"] >= 0.02
+    rep = t.report()
+    assert "a" in rep and "share" in rep
+
+
+def test_rpe_metric():
+    from lidar_slam_tpu.utils.metrics import rpe
+
+    t = np.linspace(0, 1, 50)
+    ref = np.stack([t, np.zeros_like(t)], 1)
+    est = ref + 0.05 * t[:, None]  # growing drift
+    assert rpe(est, ref, delta=10) > 0.0
+    assert rpe(ref, ref, delta=10) == 0.0
