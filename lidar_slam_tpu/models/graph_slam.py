@@ -185,9 +185,61 @@ class GraphSlam:
         self.closures.append((i, k))
         return i
 
+    # -- frontend feedback ----------------------------------------------------
+    def _rebuild_frontend(self, state):
+        """Fold optimized keyframe poses back into the live frontend state.
+
+        The frontend pose is re-expressed relative to the last keyframe
+        (pose' = opt_k ⊕ (old_k ⊖ pose), anchored on the frontend's own
+        record of its last keyframe pose), and the point map is rebuilt from
+        the stored keyframe scans at their optimized poses (subsampled to
+        capacity). mini_updated is forced so the next step re-rasters the
+        corrected map before matching."""
+        old_last = jnp.asarray(state.pmap.keyframe_pose)
+        new_last = jnp.asarray(self.kf_poses[-1])
+
+        def correct(pose):
+            # z = old_last ⊖ pose (ref convention), then new_last ⊕ z
+            co, so = jnp.cos(old_last[2]), jnp.sin(old_last[2])
+            d = pose[:2] - old_last[:2]
+            z = jnp.asarray([co * d[0] - so * d[1], so * d[0] + co * d[1],
+                             pose[2] - old_last[2]])
+            cn, sn = jnp.cos(new_last[2]), jnp.sin(new_last[2])
+            return jnp.asarray([
+                new_last[0] + cn * z[0] + sn * z[1],
+                new_last[1] - sn * z[0] + cn * z[1],
+                new_last[2] + z[2],
+            ])
+
+        # rebuild the map from keyframe scans at optimized poses (host-side;
+        # runs only on accepted loop closures)
+        pts = []
+        for k in range(len(self.kf_poses)):
+            wx, wy = se2.transform_ref(self.kf.x[k], self.kf.y[k],
+                                       jnp.asarray(self.kf_poses[k]))
+            v = np.asarray(self.kf.valid[k])
+            pts.append(np.stack([np.asarray(wx)[v], np.asarray(wy)[v]], 1))
+        allpts = np.concatenate(pts) if pts else np.zeros((0, 2), np.float32)
+        cap = state.pmap.xy.shape[0]
+        if len(allpts) > cap:
+            allpts = allpts[:: int(np.ceil(len(allpts) / cap))][:cap]
+        xy = np.zeros((cap, 2), np.float32)
+        xy[: len(allpts)] = allpts
+
+        new_pose = correct(state.pose)
+        return state._replace(
+            pose=new_pose,
+            prev_pose=correct(state.prev_pose),
+            mini_updated=jnp.bool_(True),
+            pmap=state.pmap._replace(
+                xy=jnp.asarray(xy),
+                size=jnp.int32(len(allpts)),
+                keyframe_pose=new_pose + 0.0),
+        )
+
     # -- main loop ------------------------------------------------------------
     def run(self, ranges_all: np.ndarray, optimize_every_closure: bool = True,
-            chunk_size: int = 64):
+            chunk_size: int = 64, feedback: bool = True):
         """Returns (path (T,3) ref convention, optimized keyframe poses).
 
         The frontend runs in on-device ``lax.scan`` chunks (per-scan host
@@ -216,6 +268,7 @@ class GraphSlam:
             state, (poses_c, flags_c) = run_chunk(state, chunk)
             poses_c = np.asarray(poses_c)
             flags_c = np.asarray(flags_c)
+            optimized = False
             for i in range(len(chunk)):
                 path.append(poses_c[i])
                 if not flags_c[i]:
@@ -229,6 +282,9 @@ class GraphSlam:
                     opt = np.asarray(self.graph.poses[: int(self.kf.count)])
                     self.kf_poses = [
                         np.asarray(se2.std_to_ref(jnp.asarray(p))) for p in opt]
+                    optimized = True
+            if optimized and feedback:
+                state = self._rebuild_frontend(state)
             t += len(chunk)
 
         opt_poses = [

@@ -26,3 +26,14 @@ def test_graph_slam_closes_loops_on_loop_trajectory():
     assert err / max(n_edges, 1) < 1.0, (err, n_edges)
     # frontend still tracks
     assert ate(path, gt) < 0.1
+
+
+def test_graph_slam_feedback_keeps_tracking():
+    """Optimized poses folded back into the live frontend (map rebuild +
+    pose re-anchoring) must not destabilize tracking."""
+    ranges, gt = simulate.generate_dataset(
+        n_scans=300, seed=1, waypoints=simulate.LOOP_WAYPOINTS)
+    gs = GraphSlam(DEFAULT_CONFIG)
+    path, _ = gs.run(ranges, feedback=True)
+    assert len(gs.closures) >= 1
+    assert ate(path, gt) < 0.1
