@@ -118,6 +118,33 @@ def raycast(world: World, pose: np.ndarray, angles: np.ndarray,
     return np.where(np.isfinite(r) & (r <= max_range), r, 0.0)
 
 
+def corridor_world() -> World:
+    """A 40x8 m office corridor with side rooms — long straight sections are
+    the classic hard case for scan matching (weak longitudinal constraint)."""
+    segs: list[tuple[float, float, float, float]] = []
+    segs += _box(0.0, 0.0, 40.0, 8.0)                          # shell
+    # corridor walls at y=3 and y=5 with door gaps every ~8 m
+    for x0 in (0.0, 10.0, 20.0, 30.0):
+        segs += [(x0 + 2.0, 3.0, x0 + 10.0, 3.0)]
+        segs += [(x0, 5.0, x0 + 8.0, 5.0)]
+    # room dividers
+    for x in (10.0, 20.0, 30.0):
+        segs += [(x, 0.0, x, 3.0), (x, 5.0, x, 8.0)]
+    # clutter (cabinets) breaking up the straight walls
+    for cx, cy in [(5.0, 1.0), (15.0, 6.8), (25.0, 1.2), (33.0, 6.5)]:
+        segs += _box(cx, cy - 0.3, cx + 1.2, cy + 0.3)
+    return World(segments=np.asarray(segs, np.float64))
+
+
+# Out-and-back along the corridor (~56 m total: needs ~1600 scans at the
+# default 0.35 m/s x 10 Hz). The return leg re-visits outbound keyframes —
+# the loop-closure showcase for correcting longitudinal corridor drift.
+CORRIDOR_WAYPOINTS = np.asarray([
+    (2.0, 4.0), (12.0, 4.1), (22.0, 3.9), (27.5, 4.0), (28.0, 4.2),
+    (24.0, 4.1), (14.0, 4.0), (6.0, 4.1), (2.5, 4.0),
+], np.float64)
+
+
 # A closed loop in the left room (revisits the start) — exercises loop closure.
 LOOP_WAYPOINTS = np.asarray([
     (3.0, 3.0), (2.8, 8.0), (3.0, 12.0), (5.5, 12.5), (6.5, 9.0),
@@ -229,6 +256,7 @@ def generate_ekf_dataset(n_scans: int = 500, seed: int = 0,
 def generate_dataset(n_scans: int = 1000, seed: int = 0,
                      noise_std: float = 0.008, dropout: float = 0.01,
                      speed: float = 0.35, waypoints: np.ndarray | None = None,
+                     world: World | None = None,
                      cfg: LidarConfig = LidarConfig()) -> tuple[np.ndarray, np.ndarray]:
     """Returns (ranges (T, 1079) f32, ground-truth poses (T, 3) f32).
 
@@ -236,7 +264,7 @@ def generate_dataset(n_scans: int = 1000, seed: int = 0,
     = (0,0,0), main.c:830), so poses are expressed relative to the first one.
     """
     rng = np.random.default_rng(seed)
-    world = museum_world()
+    world = world or museum_world()
     angles = beam_angles(cfg)
     if waypoints is None:
         waypoints = DEFAULT_WAYPOINTS

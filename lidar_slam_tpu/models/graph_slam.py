@@ -41,7 +41,8 @@ class LoopClosureConfig:
     accept_avg_dist: float = 1.1  # px — acceptance threshold
     min_inlier_frac: float = 0.75  # fraction of beams in bounds
     min_gap: int = 10             # keyframe index gap before closing
-    max_dist: float = 3.0         # m — candidate search radius
+    max_dist: float = 4.0         # m — candidate search radius
+    max_candidates: int = 2       # old keyframes tried per new keyframe
     refine_iters: int = 8
 
 
@@ -125,9 +126,11 @@ class GraphSlam:
             count=jnp.int32(0))
         self.kf_poses: list[np.ndarray] = []   # ref-convention, host mirror
         self.closures: list[tuple[int, int]] = []
+        self.kf_times: list[int] = []   # scan index of each keyframe
 
     # -- keyframe bookkeeping -------------------------------------------------
-    def _add_keyframe(self, scan_x, scan_y, scan_valid, pose_ref: np.ndarray):
+    def _add_keyframe(self, scan_x, scan_y, scan_valid, pose_ref: np.ndarray,
+                      scan_t: int = 0):
         k = int(self.kf.count)
         self.kf = self.kf._replace(
             x=self.kf.x.at[k].set(scan_x),
@@ -144,6 +147,7 @@ class GraphSlam:
                 self.graph, jnp.int32(k - 1), jnp.int32(k), z,
                 jnp.asarray([100.0, 100.0, 400.0]))
         self.kf_poses.append(np.asarray(pose_ref))
+        self.kf_times.append(scan_t)
         return k
 
     def _try_loop_closure(self, k: int, scan_x, scan_y, scan_valid):
@@ -159,31 +163,43 @@ class GraphSlam:
         old_candidates = [c for c in old_candidates if c[1] < lc.max_dist]
         if not old_candidates:
             return None
-        i, _ = min(old_candidates, key=lambda c: c[1])
-
-        old_ref = jnp.asarray(self.kf_poses[i])
+        old_candidates.sort(key=lambda c: c[1])
+        accepted = None
         cur_ref = jnp.asarray(cur)
-        # relative guess in the old keyframe's frame (reference convention):
-        # compose_ref(old, z) == cur  =>  z = (A(-th_o)(t_c - t_o), th_c - th_o)
-        co, so = jnp.cos(old_ref[2]), jnp.sin(old_ref[2])
-        d = cur_ref[:2] - old_ref[:2]
-        guess = jnp.asarray([co * d[0] - so * d[1],
-                             so * d[0] + co * d[1],
-                             cur_ref[2] - old_ref[2]])
-        rel, avg_d, inlier = _match_keyframes(
-            self.kf.x[i], self.kf.y[i], self.kf.valid[i],
-            scan_x, scan_y, scan_valid, guess,
-            lc.raster_size, lc.raster_pixel, lc.n_theta, lc.theta_step,
-            lc.window_half, lc.refine_iters)
-        if float(avg_d) > lc.accept_avg_dist or float(inlier) < lc.min_inlier_frac:
-            return None
-        # convert measurement to the standard convention (theta negated)
-        z_std = jnp.asarray([float(rel[0]), float(rel[1]), -float(rel[2])])
-        self.graph = posegraph.add_edge(
-            self.graph, jnp.int32(i), jnp.int32(k), z_std,
-            jnp.asarray([50.0, 50.0, 200.0]))
-        self.closures.append((i, k))
-        return i
+        for i, _ in old_candidates[: lc.max_candidates]:
+            old_ref = jnp.asarray(self.kf_poses[i])
+            # relative guess in the old keyframe's frame (ref convention):
+            # compose_ref(old, z) == cur => z = (A(-th_o)(t_c - t_o), th_c - th_o)
+            co, so = jnp.cos(old_ref[2]), jnp.sin(old_ref[2])
+            d = cur_ref[:2] - old_ref[:2]
+            guess = jnp.asarray([co * d[0] - so * d[1],
+                                 so * d[0] + co * d[1],
+                                 cur_ref[2] - old_ref[2]])
+            rel, avg_d, inlier = _match_keyframes(
+                self.kf.x[i], self.kf.y[i], self.kf.valid[i],
+                scan_x, scan_y, scan_valid, guess,
+                lc.raster_size, lc.raster_pixel, lc.n_theta, lc.theta_step,
+                lc.window_half, lc.refine_iters)
+            if (float(avg_d) > lc.accept_avg_dist
+                    or float(inlier) < lc.min_inlier_frac):
+                continue
+            # rail rejection: a "match" at the edge of the search window means
+            # the true alignment is outside it (drift exceeded the window) —
+            # such railed solutions pass the score test with garbage poses.
+            off = np.asarray(rel) - np.asarray(guess)
+            max_xy = 0.85 * lc.window_half * lc.raster_pixel
+            max_th = 0.85 * (lc.n_theta // 2) * lc.theta_step
+            if (abs(off[0]) > max_xy or abs(off[1]) > max_xy
+                    or abs(off[2]) > max_th):
+                continue
+            # convert measurement to the standard convention (theta negated)
+            z_std = jnp.asarray([float(rel[0]), float(rel[1]), -float(rel[2])])
+            self.graph = posegraph.add_edge(
+                self.graph, jnp.int32(i), jnp.int32(k), z_std,
+                jnp.asarray([50.0, 50.0, 200.0]))
+            self.closures.append((i, k))
+            accepted = i
+        return accepted
 
     # -- frontend feedback ----------------------------------------------------
     def _rebuild_frontend(self, state):
@@ -275,14 +291,20 @@ class GraphSlam:
                     continue
                 scan = sensor.read_scan(jnp.asarray(ranges_all[t + i]),
                                         self.angles, cfg.lidar)
-                k = self._add_keyframe(scan.x, scan.y, scan.valid, poses_c[i])
+                k = self._add_keyframe(scan.x, scan.y, scan.valid, poses_c[i],
+                                       scan_t=t + i)
                 closed = self._try_loop_closure(k, scan.x, scan.y, scan.valid)
                 if closed is not None and optimize_every_closure:
-                    self.graph = posegraph.optimize(self.graph, iters=10)
-                    opt = np.asarray(self.graph.poses[: int(self.kf.count)])
-                    self.kf_poses = [
-                        np.asarray(se2.std_to_ref(jnp.asarray(p))) for p in opt]
-                    optimized = True
+                    candidate = posegraph.optimize(self.graph, iters=10)
+                    opt = np.asarray(candidate.poses[: int(self.kf.count)])
+                    if np.isfinite(opt).all():
+                        self.graph = candidate
+                        self.kf_poses = [
+                            np.asarray(se2.std_to_ref(jnp.asarray(p)))
+                            for p in opt]
+                        optimized = True
+                    # else: keep the unoptimized graph; the offending edge
+                    # stays but robust reweighting bounds its influence
             if optimized and feedback:
                 state = self._rebuild_frontend(state)
             t += len(chunk)

@@ -84,9 +84,14 @@ def _edge_residual(xi: jnp.ndarray, xj: jnp.ndarray, z: jnp.ndarray) -> jnp.ndar
     return r.at[2].set(se2.wrap_angle(r[2]))
 
 
-@functools.partial(jax.jit, static_argnames=("iters",))
-def optimize(g: PoseGraph, iters: int = 10, damping: float = 1e-4) -> PoseGraph:
-    """Damped Gauss-Newton over all active nodes/edges. Fixed shapes."""
+@functools.partial(jax.jit, static_argnames=("iters", "robust"))
+def optimize(g: PoseGraph, iters: int = 10, damping: float = 1e-4,
+             robust: bool = True, huber_delta: float = 3.0) -> PoseGraph:
+    """Damped Gauss-Newton over all active nodes/edges. Fixed shapes.
+
+    ``robust=True`` applies Huber-style iteratively-reweighted least squares
+    per edge (weight scaled by min(1, delta/||r||_W)), so a single bad loop
+    closure cannot drag the whole graph (a standard robust-SLAM kernel)."""
     kmax = g.poses.shape[0]
 
     jac = jax.vmap(jax.jacfwd(_edge_residual, argnums=(0, 1)), in_axes=(0, 0, 0))
@@ -98,6 +103,10 @@ def optimize(g: PoseGraph, iters: int = 10, damping: float = 1e-4) -> PoseGraph:
         (ji, jj) = jac(xi, xj, g.edge_z)                  # (E,3,3) each
         r = res(xi, xj, g.edge_z)                          # (E,3)
         wmask = g.edge_w * g.edge_active[:, None]          # (E,3)
+        if robust:
+            chi = jnp.sqrt(jnp.maximum(jnp.sum(wmask * r * r, axis=1), 1e-12))
+            scale = jnp.minimum(1.0, huber_delta / chi)    # (E,)
+            wmask = wmask * scale[:, None]
 
         # H and b accumulated blockwise via scatter-add into (K,K,3,3)/(K,3).
         wji = wmask[:, :, None] * ji                       # Omega @ Ji
