@@ -13,6 +13,14 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+# The container's sitecustomize imports jax at interpreter startup (to
+# register the axon TPU plugin), so jax captured JAX_PLATFORMS=axon before
+# this file ran; override through the live config instead. Must happen
+# before any backend is initialized (i.e. before the first jax.devices()).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
