@@ -115,6 +115,27 @@ def cmd_run(args) -> int:
         print(f"landmarks seen {int(seen.sum())}/{len(lms)}; "
               f"median error {np.median(errs):.3f} m")
         map_xy = est_lms[seen]
+    elif args.mode == "submap":
+        from lidar_slam_tpu.models import submap_slam
+        from lidar_slam_tpu.utils import paging
+
+        if args.paged:
+            paged = paging.PagedAtlas()
+            path, state = paging.run_host_loop_paged(ranges, cfg, paged)
+            map_xy = paged.world_points(state.atlas)
+            print(f"submaps: {int(state.atlas.n_submaps)} resident, "
+                  f"{len(paged.archive)} archived "
+                  f"({paged.pages_out} out / {paged.pages_in} in)")
+        else:
+            path, state = submap_slam.run_scan(ranges, cfg)
+            path = np.asarray(path)
+            from lidar_slam_tpu.core import submap as sm
+
+            wx, wy, mask = sm.submap_world_points(state.atlas)
+            wx, wy, mask = np.asarray(wx), np.asarray(wy), np.asarray(mask)
+            map_xy = np.stack([wx[mask], wy[mask]], axis=1)
+            print(f"submaps: {int(state.atlas.n_submaps)}, "
+                  f"{len(map_xy)} map points")
     elif args.mode == "graph":
         from lidar_slam_tpu.models.graph_slam import GraphSlam
 
@@ -203,9 +224,12 @@ def main(argv=None) -> int:
 
     sp = sub.add_parser("run", help="run a SLAM pipeline")
     common(sp)
-    sp.add_argument("--mode", choices=["fidelity", "pf", "ekf", "graph"],
+    sp.add_argument("--mode",
+                    choices=["fidelity", "pf", "ekf", "graph", "submap"],
                     default="fidelity")
     sp.add_argument("--particles", type=int, default=1024)
+    sp.add_argument("--paged", action="store_true",
+                    help="submap mode: page cold submaps to host memory")
     sp.add_argument("--out-map", type=str, default=None)
     sp.add_argument("--render", type=str, default=None)
     sp.add_argument("--checkpoint", type=str, default=None,

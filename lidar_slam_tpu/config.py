@@ -89,6 +89,18 @@ class ParticleConfig:
 
 
 @dataclass(frozen=True)
+class SubmapConfig:
+    """Tiled long-term mapping (north-star extension; the reference's single
+    20k-point buffer saturates and cannot be moved by loop closures)."""
+
+    n_submaps: int = 64             # device-resident submap slots
+    submap_capacity: int = 2048     # points per submap (anchor frame)
+    k_nearest: int = 4              # submaps gathered into the local map
+    spawn_dist: float = 2.0         # m from active anchor before a new submap
+    spawn_fill_frac: float = 0.9    # active-submap fill ratio forcing a spawn
+
+
+@dataclass(frozen=True)
 class SlamConfig:
     """Top-level config bundle."""
 
@@ -97,6 +109,7 @@ class SlamConfig:
     matcher: MatcherConfig = MatcherConfig()
     map: MapConfig = MapConfig()
     particles: ParticleConfig = ParticleConfig()
+    submaps: SubmapConfig = SubmapConfig()
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)
@@ -110,6 +123,7 @@ class SlamConfig:
             matcher=MatcherConfig(**raw.get("matcher", {})),
             map=MapConfig(**raw.get("map", {})),
             particles=ParticleConfig(**raw.get("particles", {})),
+            submaps=SubmapConfig(**raw.get("submaps", {})),
         )
 
 

@@ -62,6 +62,25 @@ def ref_to_std(pose: jnp.ndarray) -> jnp.ndarray:
 std_to_ref = ref_to_std  # involution
 
 
+def compose_ref(a: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
+    """Reference-convention composition: the world pose of ``z`` given in
+    ``a``'s frame (``transform_ref`` rotates by R(-theta), so the translation
+    composes through R(-theta_a))."""
+    ct, st = jnp.cos(a[..., 2]), jnp.sin(a[..., 2])
+    x = a[..., 0] + ct * z[..., 0] + st * z[..., 1]
+    y = a[..., 1] - st * z[..., 0] + ct * z[..., 1]
+    return jnp.stack([x, y, a[..., 2] + z[..., 2]], axis=-1)
+
+
+def between_ref(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Reference-convention relative pose: z with ``compose_ref(a, z) == b``."""
+    dx = b[..., 0] - a[..., 0]
+    dy = b[..., 1] - a[..., 1]
+    ct, st = jnp.cos(a[..., 2]), jnp.sin(a[..., 2])
+    return jnp.stack([ct * dx - st * dy, st * dx + ct * dy,
+                      b[..., 2] - a[..., 2]], axis=-1)
+
+
 def between(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
     """Relative pose p1 ⊖ p2: the transform taking p1's frame to p2's."""
     dx = p2[..., 0] - p1[..., 0]
