@@ -136,6 +136,14 @@ def cmd_run(args) -> int:
             map_xy = np.stack([wx[mask], wy[mask]], axis=1)
             print(f"submaps: {int(state.atlas.n_submaps)}, "
                   f"{len(map_xy)} map points")
+    elif args.mode == "submap-graph":
+        from lidar_slam_tpu.models.submap_graph_slam import SubmapGraphSlam
+
+        gs = SubmapGraphSlam(cfg)
+        path, opt_kf = gs.run(ranges)
+        map_xy = gs.world_map(gs.final_state)
+        print(f"keyframes {int(gs.kf.count)}  loop closures {len(gs.closures)}"
+              f"  submaps {int(gs.final_state.atlas.n_submaps)}")
     elif args.mode == "graph":
         from lidar_slam_tpu.models.graph_slam import GraphSlam
 
@@ -225,7 +233,8 @@ def main(argv=None) -> int:
     sp = sub.add_parser("run", help="run a SLAM pipeline")
     common(sp)
     sp.add_argument("--mode",
-                    choices=["fidelity", "pf", "ekf", "graph", "submap"],
+                    choices=["fidelity", "pf", "ekf", "graph", "submap",
+                             "submap-graph"],
                     default="fidelity")
     sp.add_argument("--particles", type=int, default=1024)
     sp.add_argument("--paged", action="store_true",

@@ -110,12 +110,13 @@ def _match_keyframes(old_x, old_y, old_valid, cur_x, cur_y, cur_valid,
 class GraphSlam:
     """Host-side orchestrator. See module docstring."""
 
+    frontend = scan_matcher  # module providing init_state / slam_step
+
     def __init__(self, cfg: SlamConfig, lc: LoopClosureConfig = LoopClosureConfig(),
                  max_keyframes: int = 512):
         self.cfg = cfg
         self.lc = lc
         self.max_keyframes = max_keyframes
-        self.step_fn = scan_matcher.make_step_fn(cfg)
         self.angles = jnp.asarray(sensor.beam_angles(cfg.lidar))
         n = cfg.lidar.n_beams
         self.graph = posegraph.empty_graph(max_keyframes, max_keyframes * 4)
@@ -202,6 +203,9 @@ class GraphSlam:
         return accepted
 
     # -- frontend feedback ----------------------------------------------------
+    def _post_chunk(self, state) -> None:
+        """Hook for frontend-specific per-chunk bookkeeping (no-op here)."""
+
     def _rebuild_frontend(self, state):
         """Fold optimized keyframe poses back into the live frontend state.
 
@@ -264,16 +268,17 @@ class GraphSlam:
         frontend state never depends on the graph, so chunking only delays
         closure *detection* by at most one chunk."""
         cfg = self.cfg
-        state = scan_matcher.init_state(jnp.asarray(ranges_all[0]), cfg)
+        state = self.frontend.init_state(jnp.asarray(ranges_all[0]), cfg)
         scan0 = sensor.read_scan(jnp.asarray(ranges_all[0]), self.angles, cfg.lidar)
         self._add_keyframe(scan0.x, scan0.y, scan0.valid,
                            np.zeros(3, np.float32))
         path = [np.zeros(3, np.float32)]
+        slam_step = self.frontend.slam_step
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def run_chunk(st, chunk_ranges):
             def body(s, r):
-                s2, pose = scan_matcher.slam_step(s, r, cfg, self.angles)
+                s2, pose = slam_step(s, r, cfg, self.angles)
                 return s2, (pose, s2.mini_updated)
 
             return jax.lax.scan(body, st, chunk_ranges)
@@ -284,7 +289,9 @@ class GraphSlam:
             state, (poses_c, flags_c) = run_chunk(state, chunk)
             poses_c = np.asarray(poses_c)
             flags_c = np.asarray(flags_c)
-            optimized = False
+            # pass 1: register this chunk's keyframes (closure candidates
+            # only ever look backward, so batching the adds is neutral)
+            new_kf = []
             for i in range(len(chunk)):
                 path.append(poses_c[i])
                 if not flags_c[i]:
@@ -293,6 +300,13 @@ class GraphSlam:
                                         self.angles, cfg.lidar)
                 k = self._add_keyframe(scan.x, scan.y, scan.valid, poses_c[i],
                                        scan_t=t + i)
+                new_kf.append((k, scan))
+            # frontend-specific bookkeeping (e.g. submap-anchor association)
+            # before any optimization rewrites kf_poses
+            self._post_chunk(state)
+            # pass 2: loop closures + optimization
+            optimized = False
+            for k, scan in new_kf:
                 closed = self._try_loop_closure(k, scan.x, scan.y, scan.valid)
                 if closed is not None and optimize_every_closure:
                     candidate = posegraph.optimize(self.graph, iters=10)
@@ -313,4 +327,5 @@ class GraphSlam:
             np.asarray(se2.std_to_ref(self.graph.poses[i]))
             for i in range(int(self.kf.count))
         ]
+        self.final_state = state  # for map export by callers/subclasses
         return np.stack(path), np.stack(opt_poses)
