@@ -47,23 +47,29 @@ def _volume_pallas(metric, grid: OccGrid, cx0, cy0, valid, half: int):
     them via clamped row gathers + masks)."""
     from lidar_slam_tpu.ops import pallas_match
 
+    rp, cp = pallas_match.ROW_PAD, pallas_match.COL_PAD
+    rchunk = pallas_match.ROWS_PER_CHUNK
     t, n = cx0.shape
     s = metric.shape[0]
-    sp_r = ((s + 2 * half + 7) // 8) * 8          # sublane-aligned
-    sp_c = ((s + 2 * half + 127) // 128) * 128    # lane-aligned (dynamic rolls)
+    # kernel layout: content at [rp:, cp:]; row extent a multiple of the
+    # kernel's chunk size, with an rp-row tail so superset loads stay in-array
+    n_chunks = (s + rchunk - 1) // rchunk
+    sp_r = 2 * rp + n_chunks * rchunk
+    sp_c = ((cp + s + 127) // 128) * 128          # lane-aligned (rolls)
     row = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
     # reference bounds test (main.c:512): 0-based cell in [1, n-2]
     ind = ((row >= 1) & (row < grid.n_rows - 1)
            & (col >= 1) & (col < grid.n_cols - 1)).astype(jnp.float32)
-    metric_pad = jnp.zeros((sp_r, sp_c), jnp.float32).at[half:half + s,
-                                                         half:half + s].set(metric * ind)
+    metric_pad = jnp.zeros((sp_r, sp_c), jnp.float32).at[rp:rp + s,
+                                                         cp:cp + s].set(metric * ind)
 
     t_idx = jnp.broadcast_to(jnp.arange(t)[:, None], (t, n))
     hist = jnp.zeros((t, sp_r, sp_c), jnp.float32)
     vf = jnp.broadcast_to(valid.astype(jnp.float32)[None, :], (t, n))
-    hist = hist.at[t_idx, cy0 + half, cx0 + half].add(vf, mode="drop")
-    scores = pallas_match.correlate_volume(hist, metric_pad, half)
+    hist = hist.at[t_idx, cy0 + rp, cx0 + cp].add(vf, mode="drop")
+    # live metric rows end at n_rows-1 (the ind mask); bound the chunk sweep
+    scores = pallas_match.correlate_volume(hist, metric_pad, grid.n_rows, half)
 
     # Count volume analytically: the in-bounds test separates into row and
     # column conditions, so counts[t, dy, dx] = sum_n row_ok * col_ok is a

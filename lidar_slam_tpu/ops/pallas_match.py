@@ -8,13 +8,29 @@ the full (W, W) translation-offset score surface
 
 where ``hist`` is the per-bin histogram of projected scan points (a tiny
 scatter built outside the kernel) and ``metric`` the EDT likelihood field
-pre-masked to the grid's valid region. Everything lives in VMEM (a 400x400
-f32 field is 640 KB); the offset loop is 2R+1 sublane rolls x 2R+1 lane
-rolls with iota edge masks — no gathers anywhere, pure VPU arithmetic.
+pre-masked to the grid's valid region. Everything lives in VMEM; there are
+no gathers anywhere.
 
-This replaces the jnp row-slab + one-hot-matmul path of
-``ops/correlative.build_score_volume`` on TPU (identical results: the
-histogram commutes the per-beam sum into cell space).
+Kernel structure (v2 — 4x the v1 per-bin-rolls version):
+- the grid axis iterates row *chunks* of the field (32 rows each), not theta
+  bins, so the (dy, dx) offset loops touch only a (32, C) block that stays
+  in vector registers;
+- the dy offset is a cheap in-register roll of an 8-aligned superset load
+  (Mosaic requires sublane-aligned ref slices; the superset trick turns the
+  unaligned hist window into one aligned load + one static roll);
+- the 2R+1 lane-rolled copies of the metric chunk are hoisted out of the
+  theta/dy loops (v1 re-rolled the full 400^2 field per offset: 1274
+  full-grid rolls per call vs 13 block rolls per chunk here);
+- chunks beyond the grid's *dynamic* valid row count are skipped entirely
+  via a scalar-prefetch bound (the fixed 400^2 array usually holds a much
+  smaller live region, reference grid sizing ``main.c:275-302``).
+
+Padding contract (see ``correlative._volume_pallas``): content rows start at
+``ROW_PAD`` (16) and columns at ``COL_PAD`` (8); both margins are >= half so
+every roll wraps zeros.
+
+The companion count volume is analytic (separable in dy/dx) and is computed
+outside as a tiny mask einsum — only the score correlation needs the field.
 """
 
 from __future__ import annotations
@@ -26,74 +42,82 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+ROW_PAD = 16   # content row offset; also the superset halo (2 x 8-aligned)
+COL_PAD = 8    # content column offset
+ROWS_PER_CHUNK = 32
 
-def _corr_kernel(hist_ref, metric_ref, scores_ref, *, half: int):
-    """One program per theta bin: correlate hist[t] against the masked field.
 
-    Inputs are zero-padded by >= half on every side, so circular rolls wrap
-    only into zeros — no edge masks needed (see correlate_volume). The
-    offset loop uses fori_loop + dynamic rolls (a statically unrolled
-    (2R+1)^2 version takes ~8 minutes to compile; this compiles in seconds).
-    The companion count volume is analytic (separable in dy/dx) and is
-    computed outside as a tiny mask einsum — only the score correlation
-    needs the field.
-
-    NOTE on performance: the kernel is reduction-bound on the VPU (one
-    full-grid multiply-reduce per offset). An MXU formulation (stack the
-    bins, contract the flattened grid per offset) would be several times
-    faster but needs a cross-lane reshape Mosaic does not support
-    ("unsupported shape cast"); revisit when it does.
-    """
-    h = hist_ref[0]                                  # (SP_r, SP_c)
-    metric = metric_ref[:]
-    sp_rows, sp_cols = metric.shape
-
+def _corr_kernel(row_hi_ref, hist_ref, metric_ref, scores_ref, *, half: int,
+                 rows_per: int):
+    i = pl.program_id(0)
     w = 2 * half + 1
-    # aligned accumulators (unaligned loop carries are unsupported in Mosaic)
+    t_bins = hist_ref.shape[0]
+    r0 = ROW_PAD + i * rows_per
+
     acc_r = ((w + 7) // 8) * 8
-    acc_c = 128
-    row_id = jax.lax.broadcasted_iota(jnp.int32, (acc_r, acc_c), 0)
-    col_id = jax.lax.broadcasted_iota(jnp.int32, (acc_r, acc_c), 1)
+    row_id = jax.lax.broadcasted_iota(jnp.int32, (acc_r, 128), 0)
+    col_id = jax.lax.broadcasted_iota(jnp.int32, (acc_r, 128), 1)
+    nsup = rows_per + 2 * 8
 
-    def body_dy(iy, scores):
-        dy = iy - half
-        m_y = pltpu.roll(metric, (-dy) % sp_rows, axis=0)
+    @pl.when(i == 0)
+    def _():
+        scores_ref[...] = jnp.zeros_like(scores_ref)
 
-        def body_dx(ix, s2):
-            dx = ix - half
-            m_s = pltpu.roll(m_y, (-dx) % sp_cols, axis=1)
-            sel = (row_id == iy) & (col_id == ix)
-            return jnp.where(sel, jnp.sum(h * m_s), s2)
-
-        return jax.lax.fori_loop(0, w, body_dx, scores)
-
-    zeros = jnp.zeros((acc_r, acc_c), jnp.float32)
-    scores = jax.lax.fori_loop(0, w, body_dy, zeros)
-    scores_ref[0] = scores[:w, :w]
+    # skip chunks past the grid's dynamic valid region (metric is zero there)
+    @pl.when(i * rows_per < row_hi_ref[0])
+    def _():
+        m_blk = metric_ref[pl.ds(r0, rows_per), :]
+        sp_c = m_blk.shape[-1]
+        m_rolls = [pltpu.roll(m_blk, (-(dx - half)) % sp_c, axis=1)
+                   for dx in range(w)]
+        for t in range(t_bins):
+            # aligned superset covering hist rows [r0-half, r0+rows_per+half)
+            h_sup = hist_ref[t, pl.ds(r0 - 8, nsup), :]
+            acc = jnp.zeros((acc_r, 128), jnp.float32)
+            for dyi in range(w):
+                # hist row (metric row) - dy, in superset coords: 8 - dy
+                sh = 8 + half - dyi
+                h_slice = pltpu.roll(h_sup, (-sh) % nsup, axis=0)[:rows_per, :]
+                for dxi in range(w):
+                    s = jnp.sum(h_slice * m_rolls[dxi])
+                    acc = acc + jnp.where((row_id == dyi) & (col_id == dxi),
+                                          s, 0.0)
+            scores_ref[t] += acc[: scores_ref.shape[1], : scores_ref.shape[2]]
 
 
 @functools.partial(jax.jit, static_argnames=("half",))
 def correlate_volume(hist: jnp.ndarray, metric_masked: jnp.ndarray,
-                     half: int = 8):
+                     row_hi: jnp.ndarray, half: int = 8):
     """hist (T, SP_r, SP_c) f32, metric_masked (SP_r, SP_c) f32 ->
-    scores (T, W, W) with W = 2*half+1."""
+    scores (T, W, W) with W = 2*half+1.
+
+    Inputs follow the ROW_PAD/COL_PAD layout (content at
+    ``[ROW_PAD:, COL_PAD:]``); ``SP_r - 2*ROW_PAD`` must be a multiple of
+    ROWS_PER_CHUNK. ``row_hi`` (i32 scalar) bounds the live content rows —
+    chunks at or beyond it are skipped.
+    """
     t, sp_r, sp_c = hist.shape
+    assert (sp_r - 2 * ROW_PAD) % ROWS_PER_CHUNK == 0, sp_r
+    assert half <= COL_PAD, (half, COL_PAD)
+    n_chunks = (sp_r - 2 * ROW_PAD) // ROWS_PER_CHUNK
     w = 2 * half + 1
-    kernel = functools.partial(_corr_kernel, half=half)
+    kernel = functools.partial(_corr_kernel, half=half,
+                               rows_per=ROWS_PER_CHUNK)
     return pl.pallas_call(
         kernel,
-        grid=(t,),
-        in_specs=[
-            pl.BlockSpec((1, sp_r, sp_c), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((sp_r, sp_c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, w, w), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_chunks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
         out_shape=jax.ShapeDtypeStruct((t, w, w), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=t * w * w * sp_r * sp_c * 2,
             bytes_accessed=(t + 1) * sp_r * sp_c * 4,
             transcendentals=0,
         ),
-    )(hist, metric_masked)
+    )(jnp.reshape(row_hi.astype(jnp.int32), (1,)), hist, metric_masked)
