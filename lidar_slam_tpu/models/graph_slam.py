@@ -107,8 +107,59 @@ def _match_keyframes(old_x, old_y, old_valid, cur_x, cur_y, cur_valid,
     return rel, avg_d, counts / n_valid.astype(jnp.float32)
 
 
+
+def _match_keyframes_batch(old_x, old_y, old_valid, cur_x, cur_y, cur_valid,
+                           guesses, lc: "LoopClosureConfig"):
+    """Vmapped keyframe matching: all closure candidates in ONE dispatch.
+
+    On a remote-attached TPU every dispatch pays a ~30 ms round trip; the
+    per-candidate loop was the dominant cost of the whole graph backend."""
+    fn = functools.partial(
+        _match_keyframes, lc_size=lc.raster_size, lc_pixel=lc.raster_pixel,
+        n_theta=lc.n_theta, theta_step=lc.theta_step, half=lc.window_half,
+        iters=lc.refine_iters)
+    return jax.vmap(fn, in_axes=(0, 0, 0, None, None, None, 0))(
+        old_x, old_y, old_valid, cur_x, cur_y, cur_valid, guesses)
+
+
+# -- host-side SE(2) helpers (numpy; bookkeeping must not dispatch) -----------
+def _np_ref_to_std(p):
+    return np.asarray([p[0], p[1], -p[2]], np.float32)
+
+
+def _np_between_std(p1, p2):
+    dx, dy = p2[0] - p1[0], p2[1] - p1[1]
+    ct, st = np.cos(p1[2]), np.sin(p1[2])
+    dth = p2[2] - p1[2]
+    dth = dth - 2.0 * np.pi * np.floor((dth + np.pi) / (2.0 * np.pi))
+    return np.asarray([ct * dx + st * dy, -st * dx + ct * dy, dth], np.float32)
+
+
+def _np_between_ref(a, b):
+    dx, dy = b[0] - a[0], b[1] - a[1]
+    ct, st = np.cos(a[2]), np.sin(a[2])
+    return np.asarray([ct * dx - st * dy, st * dx + ct * dy, b[2] - a[2]],
+                      np.float32)
+
+
+def _np_compose_ref(a, z):
+    ct, st = np.cos(a[2]), np.sin(a[2])
+    return np.asarray([a[0] + ct * z[0] + st * z[1],
+                       a[1] - st * z[0] + ct * z[1],
+                       a[2] + z[2]], np.float32)
+
+
 class GraphSlam:
-    """Host-side orchestrator. See module docstring."""
+    """Host-side orchestrator. See module docstring.
+
+    All per-keyframe bookkeeping (keyframe store, graph nodes/edges) lives in
+    host numpy — on a remote-attached TPU each stray device op costs a ~30 ms
+    dispatch round trip, which made the original device-resident bookkeeping
+    ~6 dispatches per keyframe. The device sees exactly: one lax.scan per
+    chunk (which also emits the gated scans), one batched closure-match per
+    candidate keyframe, and one pose-graph optimize per chunk with accepted
+    closures.
+    """
 
     frontend = scan_matcher  # module providing init_state / slam_step
 
@@ -119,88 +170,128 @@ class GraphSlam:
         self.max_keyframes = max_keyframes
         self.angles = jnp.asarray(sensor.beam_angles(cfg.lidar))
         n = cfg.lidar.n_beams
-        self.graph = posegraph.empty_graph(max_keyframes, max_keyframes * 4)
-        self.kf = KeyframeStore(
-            x=jnp.zeros((max_keyframes, n), jnp.float32),
-            y=jnp.zeros((max_keyframes, n), jnp.float32),
-            valid=jnp.zeros((max_keyframes, n), jnp.bool_),
-            count=jnp.int32(0))
+        self._kf_x = np.zeros((max_keyframes, n), np.float32)
+        self._kf_y = np.zeros((max_keyframes, n), np.float32)
+        self._kf_valid = np.zeros((max_keyframes, n), bool)
+        self._kf_count = 0
+        # edge lists (host): (i, j, z_std (3,), w (3,))
+        self._edges: list[tuple[int, int, np.ndarray, np.ndarray]] = []
         self.kf_poses: list[np.ndarray] = []   # ref-convention, host mirror
         self.closures: list[tuple[int, int]] = []
         self.kf_times: list[int] = []   # scan index of each keyframe
 
-    # -- keyframe bookkeeping -------------------------------------------------
+    # -- views ------------------------------------------------------------------
+    @property
+    def kf(self) -> KeyframeStore:
+        return KeyframeStore(x=self._kf_x, y=self._kf_y, valid=self._kf_valid,
+                             count=np.int32(self._kf_count))
+
+    @property
+    def graph(self) -> posegraph.PoseGraph:
+        """Materialize the pose graph from the host mirrors (fixed shapes)."""
+        g = posegraph.empty_graph(self.max_keyframes, self.max_keyframes * 4)
+        k = self._kf_count
+        poses = np.zeros((self.max_keyframes, 3), np.float32)
+        if k:
+            poses[:k] = np.stack([_np_ref_to_std(p) for p in self.kf_poses])
+        e = min(len(self._edges), self.max_keyframes * 4)
+        ei = np.zeros(self.max_keyframes * 4, np.int32)
+        ej = np.zeros(self.max_keyframes * 4, np.int32)
+        ez = np.zeros((self.max_keyframes * 4, 3), np.float32)
+        ew = np.ones((self.max_keyframes * 4, 3), np.float32)
+        for idx, (i, j, z, w) in enumerate(self._edges[:e]):
+            ei[idx], ej[idx], ez[idx], ew[idx] = i, j, z, w
+        return posegraph.PoseGraph(
+            poses=jnp.asarray(poses),
+            node_active=jnp.asarray(np.arange(self.max_keyframes) < k),
+            n_nodes=jnp.int32(k),
+            edge_i=jnp.asarray(ei), edge_j=jnp.asarray(ej),
+            edge_z=jnp.asarray(ez), edge_w=jnp.asarray(ew),
+            edge_active=jnp.asarray(np.arange(self.max_keyframes * 4) < e),
+            n_edges=jnp.int32(e))
+
+    # -- keyframe bookkeeping (pure host) ----------------------------------------
     def _add_keyframe(self, scan_x, scan_y, scan_valid, pose_ref: np.ndarray,
                       scan_t: int = 0):
-        k = int(self.kf.count)
-        self.kf = self.kf._replace(
-            x=self.kf.x.at[k].set(scan_x),
-            y=self.kf.y.at[k].set(scan_y),
-            valid=self.kf.valid.at[k].set(scan_valid),
-            count=jnp.int32(k + 1))
-        pose_std = np.asarray(se2.ref_to_std(jnp.asarray(pose_ref)))
-        self.graph, _ = posegraph.add_node(self.graph, jnp.asarray(pose_std))
+        k = self._kf_count
+        if k >= self.max_keyframes:
+            return k - 1  # saturate (mirrors the fixed-capacity stores)
+        self._kf_x[k] = np.asarray(scan_x)
+        self._kf_y[k] = np.asarray(scan_y)
+        self._kf_valid[k] = np.asarray(scan_valid)
+        self._kf_count = k + 1
+        pose_ref = np.asarray(pose_ref, np.float32)
         if k > 0:
-            prev_std = jnp.asarray(
-                np.asarray(se2.ref_to_std(jnp.asarray(self.kf_poses[-1]))))
-            z = se2.between(prev_std, jnp.asarray(pose_std))
-            self.graph = posegraph.add_edge(
-                self.graph, jnp.int32(k - 1), jnp.int32(k), z,
-                jnp.asarray([100.0, 100.0, 400.0]))
-        self.kf_poses.append(np.asarray(pose_ref))
+            z = _np_between_std(_np_ref_to_std(self.kf_poses[-1]),
+                                _np_ref_to_std(pose_ref))
+            self._edges.append((k - 1, k, z,
+                                np.asarray([100.0, 100.0, 400.0], np.float32)))
+        self.kf_poses.append(pose_ref)
         self.kf_times.append(scan_t)
         return k
 
     def _try_loop_closure(self, k: int, scan_x, scan_y, scan_valid):
-        """Search old keyframes near the current pose; add an edge if matched."""
+        """Search old keyframes near the current pose; add an edge if matched.
+
+        All candidates are matched in one vmapped dispatch."""
         lc = self.lc
         if k < lc.min_gap:
             return None
         cur = self.kf_poses[k]
         old_candidates = [
-            (i, np.hypot(*(np.asarray(p[:2]) - cur[:2])))
+            (i, float(np.hypot(*(p[:2] - cur[:2]))))
             for i, p in enumerate(self.kf_poses[: k - lc.min_gap + 1])
         ]
         old_candidates = [c for c in old_candidates if c[1] < lc.max_dist]
         if not old_candidates:
             return None
         old_candidates.sort(key=lambda c: c[1])
+        cand = [i for i, _ in old_candidates[: lc.max_candidates]]
+        b = lc.max_candidates
+        idxs = (cand + [cand[0]] * b)[:b]      # pad by repeating the first
+        guesses = np.stack([_np_between_ref(self.kf_poses[i], cur)
+                            for i in idxs])
+        rels, avg_ds, inliers = _match_keyframes_batch(
+            jnp.asarray(self._kf_x[idxs]), jnp.asarray(self._kf_y[idxs]),
+            jnp.asarray(self._kf_valid[idxs]),
+            scan_x, scan_y, scan_valid, jnp.asarray(guesses), lc)
+        rels = np.asarray(rels)
+        avg_ds = np.asarray(avg_ds)
+        inliers = np.asarray(inliers)
+
         accepted = None
-        cur_ref = jnp.asarray(cur)
-        for i, _ in old_candidates[: lc.max_candidates]:
-            old_ref = jnp.asarray(self.kf_poses[i])
-            # relative guess in the old keyframe's frame (ref convention):
-            # compose_ref(old, z) == cur => z = (A(-th_o)(t_c - t_o), th_c - th_o)
-            co, so = jnp.cos(old_ref[2]), jnp.sin(old_ref[2])
-            d = cur_ref[:2] - old_ref[:2]
-            guess = jnp.asarray([co * d[0] - so * d[1],
-                                 so * d[0] + co * d[1],
-                                 cur_ref[2] - old_ref[2]])
-            rel, avg_d, inlier = _match_keyframes(
-                self.kf.x[i], self.kf.y[i], self.kf.valid[i],
-                scan_x, scan_y, scan_valid, guess,
-                lc.raster_size, lc.raster_pixel, lc.n_theta, lc.theta_step,
-                lc.window_half, lc.refine_iters)
-            if (float(avg_d) > lc.accept_avg_dist
-                    or float(inlier) < lc.min_inlier_frac):
+        for row, i in enumerate(cand):         # skip padded rows
+            if (avg_ds[row] > lc.accept_avg_dist
+                    or inliers[row] < lc.min_inlier_frac):
                 continue
             # rail rejection: a "match" at the edge of the search window means
             # the true alignment is outside it (drift exceeded the window) —
             # such railed solutions pass the score test with garbage poses.
-            off = np.asarray(rel) - np.asarray(guess)
+            off = rels[row] - guesses[row]
             max_xy = 0.85 * lc.window_half * lc.raster_pixel
             max_th = 0.85 * (lc.n_theta // 2) * lc.theta_step
             if (abs(off[0]) > max_xy or abs(off[1]) > max_xy
                     or abs(off[2]) > max_th):
                 continue
             # convert measurement to the standard convention (theta negated)
-            z_std = jnp.asarray([float(rel[0]), float(rel[1]), -float(rel[2])])
-            self.graph = posegraph.add_edge(
-                self.graph, jnp.int32(i), jnp.int32(k), z_std,
-                jnp.asarray([50.0, 50.0, 200.0]))
+            z_std = np.asarray([rels[row][0], rels[row][1], -rels[row][2]],
+                               np.float32)
+            self._edges.append((i, k, z_std,
+                                np.asarray([50.0, 50.0, 200.0], np.float32)))
             self.closures.append((i, k))
             accepted = i
         return accepted
+
+    def _optimize(self) -> bool:
+        """One damped-GN solve over the materialized graph; NaN-revert."""
+        candidate = posegraph.optimize(self.graph, iters=10)
+        opt = np.asarray(candidate.poses[: self._kf_count])
+        if not np.isfinite(opt).all():
+            # keep the unoptimized poses; the offending edge stays but robust
+            # reweighting bounds its influence
+            return False
+        self.kf_poses = [_np_ref_to_std(p) for p in opt]  # std->ref (involution)
+        return True
 
     # -- frontend feedback ----------------------------------------------------
     def _post_chunk(self, state) -> None:
@@ -210,46 +301,35 @@ class GraphSlam:
         """Fold optimized keyframe poses back into the live frontend state.
 
         The frontend pose is re-expressed relative to the last keyframe
-        (pose' = opt_k ⊕ (old_k ⊖ pose), anchored on the frontend's own
+        (pose' = opt_k (+) (old_k (-) pose), anchored on the frontend's own
         record of its last keyframe pose), and the point map is rebuilt from
         the stored keyframe scans at their optimized poses (subsampled to
-        capacity). mini_updated is forced so the next step re-rasters the
-        corrected map before matching."""
-        old_last = jnp.asarray(state.pmap.keyframe_pose)
-        new_last = jnp.asarray(self.kf_poses[-1])
+        capacity) in a single vectorized transform. mini_updated is forced so
+        the next step re-rasters the corrected map before matching."""
+        old_last = np.asarray(state.pmap.keyframe_pose)
+        new_last = self.kf_poses[-1]
 
         def correct(pose):
-            # z = old_last ⊖ pose (ref convention), then new_last ⊕ z
-            co, so = jnp.cos(old_last[2]), jnp.sin(old_last[2])
-            d = pose[:2] - old_last[:2]
-            z = jnp.asarray([co * d[0] - so * d[1], so * d[0] + co * d[1],
-                             pose[2] - old_last[2]])
-            cn, sn = jnp.cos(new_last[2]), jnp.sin(new_last[2])
-            return jnp.asarray([
-                new_last[0] + cn * z[0] + sn * z[1],
-                new_last[1] - sn * z[0] + cn * z[1],
-                new_last[2] + z[2],
-            ])
+            z = _np_between_ref(old_last, np.asarray(pose))
+            return _np_compose_ref(new_last, z)
 
-        # rebuild the map from keyframe scans at optimized poses (host-side;
-        # runs only on accepted loop closures)
-        pts = []
-        for k in range(len(self.kf_poses)):
-            wx, wy = se2.transform_ref(self.kf.x[k], self.kf.y[k],
-                                       jnp.asarray(self.kf_poses[k]))
-            v = np.asarray(self.kf.valid[k])
-            pts.append(np.stack([np.asarray(wx)[v], np.asarray(wy)[v]], 1))
-        allpts = np.concatenate(pts) if pts else np.zeros((0, 2), np.float32)
+        k = self._kf_count
+        poses = jnp.asarray(np.stack(self.kf_poses))          # (K, 3)
+        wx, wy = se2.transform_ref(jnp.asarray(self._kf_x[:k]),
+                                   jnp.asarray(self._kf_y[:k]), poses)
+        wx, wy = np.asarray(wx), np.asarray(wy)
+        v = self._kf_valid[:k]
+        allpts = np.stack([wx[v], wy[v]], axis=1)
         cap = state.pmap.xy.shape[0]
         if len(allpts) > cap:
             allpts = allpts[:: int(np.ceil(len(allpts) / cap))][:cap]
         xy = np.zeros((cap, 2), np.float32)
         xy[: len(allpts)] = allpts
 
-        new_pose = correct(state.pose)
+        new_pose = jnp.asarray(correct(state.pose))
         return state._replace(
             pose=new_pose,
-            prev_pose=correct(state.prev_pose),
+            prev_pose=jnp.asarray(correct(state.prev_pose)),
             mini_updated=jnp.bool_(True),
             pmap=state.pmap._replace(
                 xy=jnp.asarray(xy),
@@ -262,33 +342,36 @@ class GraphSlam:
             chunk_size: int = 64, feedback: bool = True):
         """Returns (path (T,3) ref convention, optimized keyframe poses).
 
-        The frontend runs in on-device ``lax.scan`` chunks (per-scan host
-        syncs cost a ~30 ms dispatch round trip on remote-attached TPUs);
-        keyframe bookkeeping and loop closures are handled per chunk — the
-        frontend state never depends on the graph, so chunking only delays
-        closure *detection* by at most one chunk."""
+        The frontend runs in on-device ``lax.scan`` chunks that also emit the
+        gated scans (per-scan host syncs cost a ~30 ms dispatch round trip on
+        remote-attached TPUs); keyframe bookkeeping runs in host numpy, loop
+        closures are matched in one batched dispatch per candidate keyframe,
+        and the graph is optimized at most once per chunk."""
         cfg = self.cfg
         state = self.frontend.init_state(jnp.asarray(ranges_all[0]), cfg)
         scan0 = sensor.read_scan(jnp.asarray(ranges_all[0]), self.angles, cfg.lidar)
-        self._add_keyframe(scan0.x, scan0.y, scan0.valid,
-                           np.zeros(3, np.float32))
+        self._add_keyframe(np.asarray(scan0.x), np.asarray(scan0.y),
+                           np.asarray(scan0.valid), np.zeros(3, np.float32))
         path = [np.zeros(3, np.float32)]
         slam_step = self.frontend.slam_step
+        lidar_cfg = cfg.lidar
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def run_chunk(st, chunk_ranges):
             def body(s, r):
                 s2, pose = slam_step(s, r, cfg, self.angles)
-                return s2, (pose, s2.mini_updated)
+                scan = sensor.read_scan(r, self.angles, lidar_cfg)  # CSE'd
+                return s2, (pose, s2.mini_updated, scan.x, scan.y, scan.valid)
 
             return jax.lax.scan(body, st, chunk_ranges)
 
         t = 1
         while t < len(ranges_all):
             chunk = jnp.asarray(ranges_all[t: t + chunk_size])
-            state, (poses_c, flags_c) = run_chunk(state, chunk)
+            state, (poses_c, flags_c, sx_c, sy_c, sv_c) = run_chunk(state, chunk)
             poses_c = np.asarray(poses_c)
             flags_c = np.asarray(flags_c)
+            sx_c, sy_c, sv_c = np.asarray(sx_c), np.asarray(sy_c), np.asarray(sv_c)
             # pass 1: register this chunk's keyframes (closure candidates
             # only ever look backward, so batching the adds is neutral)
             new_kf = []
@@ -296,36 +379,25 @@ class GraphSlam:
                 path.append(poses_c[i])
                 if not flags_c[i]:
                     continue
-                scan = sensor.read_scan(jnp.asarray(ranges_all[t + i]),
-                                        self.angles, cfg.lidar)
-                k = self._add_keyframe(scan.x, scan.y, scan.valid, poses_c[i],
+                k = self._add_keyframe(sx_c[i], sy_c[i], sv_c[i], poses_c[i],
                                        scan_t=t + i)
-                new_kf.append((k, scan))
+                new_kf.append((k, i))
             # frontend-specific bookkeeping (e.g. submap-anchor association)
             # before any optimization rewrites kf_poses
             self._post_chunk(state)
-            # pass 2: loop closures + optimization
-            optimized = False
-            for k, scan in new_kf:
-                closed = self._try_loop_closure(k, scan.x, scan.y, scan.valid)
-                if closed is not None and optimize_every_closure:
-                    candidate = posegraph.optimize(self.graph, iters=10)
-                    opt = np.asarray(candidate.poses[: int(self.kf.count)])
-                    if np.isfinite(opt).all():
-                        self.graph = candidate
-                        self.kf_poses = [
-                            np.asarray(se2.std_to_ref(jnp.asarray(p)))
-                            for p in opt]
-                        optimized = True
-                    # else: keep the unoptimized graph; the offending edge
-                    # stays but robust reweighting bounds its influence
-            if optimized and feedback:
-                state = self._rebuild_frontend(state)
+            # pass 2: loop closures, then one optimize for the chunk
+            any_closed = False
+            for k, i in new_kf:
+                closed = self._try_loop_closure(
+                    k, jnp.asarray(sx_c[i]), jnp.asarray(sy_c[i]),
+                    jnp.asarray(sv_c[i]))
+                any_closed |= closed is not None
+            if any_closed and optimize_every_closure:
+                optimized = self._optimize()
+                if optimized and feedback:
+                    state = self._rebuild_frontend(state)
             t += len(chunk)
 
-        opt_poses = [
-            np.asarray(se2.std_to_ref(self.graph.poses[i]))
-            for i in range(int(self.kf.count))
-        ]
+        opt_poses = list(self.kf_poses)
         self.final_state = state  # for map export by callers/subclasses
         return np.stack(path), np.stack(opt_poses)

@@ -47,7 +47,8 @@ def _volume_pallas(metric, grid: OccGrid, cx0, cy0, valid, half: int):
     them via clamped row gathers + masks)."""
     from lidar_slam_tpu.ops import pallas_match
 
-    rp, cp = pallas_match.ROW_PAD, pallas_match.COL_PAD
+    rp = pallas_match.row_pad(half)
+    cp = pallas_match.col_pad(half)
     rchunk = pallas_match.ROWS_PER_CHUNK
     t, n = cx0.shape
     s = metric.shape[0]
@@ -55,7 +56,8 @@ def _volume_pallas(metric, grid: OccGrid, cx0, cy0, valid, half: int):
     # kernel's chunk size, with an rp-row tail so superset loads stay in-array
     n_chunks = (s + rchunk - 1) // rchunk
     sp_r = 2 * rp + n_chunks * rchunk
-    sp_c = ((cp + s + 127) // 128) * 128          # lane-aligned (rolls)
+    # lane-aligned, with >= half zero columns on the right so rolls wrap zeros
+    sp_c = ((cp + s + half + 127) // 128) * 128
     row = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
     # reference bounds test (main.c:512): 0-based cell in [1, n-2]

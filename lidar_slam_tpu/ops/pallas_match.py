@@ -42,9 +42,22 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-ROW_PAD = 16   # content row offset; also the superset halo (2 x 8-aligned)
-COL_PAD = 8    # content column offset
 ROWS_PER_CHUNK = 32
+
+
+def row_halo(half: int) -> int:
+    """Superset row halo: ``half`` rounded up to the sublane multiple."""
+    return ((half + 7) // 8) * 8
+
+
+def row_pad(half: int) -> int:
+    """Content row offset in the padded layout (== the 8-aligned halo)."""
+    return row_halo(half)
+
+
+def col_pad(half: int) -> int:
+    """Content column offset: any value >= half keeps lane rolls in zeros."""
+    return half
 
 
 def _corr_kernel(row_hi_ref, hist_ref, metric_ref, scores_ref, *, half: int,
@@ -52,12 +65,13 @@ def _corr_kernel(row_hi_ref, hist_ref, metric_ref, scores_ref, *, half: int,
     i = pl.program_id(0)
     w = 2 * half + 1
     t_bins = hist_ref.shape[0]
-    r0 = ROW_PAD + i * rows_per
+    halo = row_halo(half)
+    r0 = halo + i * rows_per
 
     acc_r = ((w + 7) // 8) * 8
     row_id = jax.lax.broadcasted_iota(jnp.int32, (acc_r, 128), 0)
     col_id = jax.lax.broadcasted_iota(jnp.int32, (acc_r, 128), 1)
-    nsup = rows_per + 2 * 8
+    nsup = rows_per + 2 * halo
 
     @pl.when(i == 0)
     def _():
@@ -72,11 +86,11 @@ def _corr_kernel(row_hi_ref, hist_ref, metric_ref, scores_ref, *, half: int,
                    for dx in range(w)]
         for t in range(t_bins):
             # aligned superset covering hist rows [r0-half, r0+rows_per+half)
-            h_sup = hist_ref[t, pl.ds(r0 - 8, nsup), :]
+            h_sup = hist_ref[t, pl.ds(r0 - halo, nsup), :]
             acc = jnp.zeros((acc_r, 128), jnp.float32)
             for dyi in range(w):
-                # hist row (metric row) - dy, in superset coords: 8 - dy
-                sh = 8 + half - dyi
+                # hist row (metric row) - dy, in superset coords: halo - dy
+                sh = halo + half - dyi
                 h_slice = pltpu.roll(h_sup, (-sh) % nsup, axis=0)[:rows_per, :]
                 for dxi in range(w):
                     s = jnp.sum(h_slice * m_rolls[dxi])
@@ -91,15 +105,15 @@ def correlate_volume(hist: jnp.ndarray, metric_masked: jnp.ndarray,
     """hist (T, SP_r, SP_c) f32, metric_masked (SP_r, SP_c) f32 ->
     scores (T, W, W) with W = 2*half+1.
 
-    Inputs follow the ROW_PAD/COL_PAD layout (content at
-    ``[ROW_PAD:, COL_PAD:]``); ``SP_r - 2*ROW_PAD`` must be a multiple of
-    ROWS_PER_CHUNK. ``row_hi`` (i32 scalar) bounds the live content rows —
+    Inputs follow the row_pad(half)/col_pad(half) layout (content at
+    ``[row_pad:, col_pad:]``); ``SP_r - 2*row_halo(half)`` must be a multiple
+    of ROWS_PER_CHUNK. ``row_hi`` (i32 scalar) bounds the live content rows —
     chunks at or beyond it are skipped.
     """
     t, sp_r, sp_c = hist.shape
-    assert (sp_r - 2 * ROW_PAD) % ROWS_PER_CHUNK == 0, sp_r
-    assert half <= COL_PAD, (half, COL_PAD)
-    n_chunks = (sp_r - 2 * ROW_PAD) // ROWS_PER_CHUNK
+    halo = row_halo(half)
+    assert (sp_r - 2 * halo) % ROWS_PER_CHUNK == 0, (sp_r, halo)
+    n_chunks = (sp_r - 2 * halo) // ROWS_PER_CHUNK
     w = 2 * half + 1
     kernel = functools.partial(_corr_kernel, half=half,
                                rows_per=ROWS_PER_CHUNK)

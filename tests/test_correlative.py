@@ -77,6 +77,34 @@ def test_trilinear_lookup_interpolates():
     assert d_half == pytest.approx(float(s_mid / c_mid), rel=1e-4)
 
 
+def test_pallas_volume_wide_window_matches_jnp():
+    """half=14 (wider than one sublane tile, the loop-closure window) over a
+    multi-chunk grid — regression for the kernel's generalized padding.
+    Shapes scaled down: interpret mode pays per-offset python cost."""
+    rng = np.random.default_rng(11)
+    s = 96
+    metric = jnp.asarray(rng.random((s, s)), jnp.float32) * 10.0
+    grid = OccGrid(occ=jnp.zeros((s, s), jnp.bool_),
+                   n_rows=jnp.int32(s), n_cols=jnp.int32(s),
+                   origin=jnp.asarray([-9.6, -9.6], jnp.float32), pixel=0.2)
+    n = 64
+    sx = jnp.asarray(rng.uniform(-8, 8, n), jnp.float32)
+    sy = jnp.asarray(rng.uniform(-8, 8, n), jnp.float32)
+    valid = jnp.asarray(rng.random(n) < 0.9)
+    base = jnp.asarray([0.3, -0.2, 0.15], jnp.float32)
+    vol_jnp = correlative.build_score_volume(
+        metric, grid, sx, sy, valid, base, n_theta=3,
+        theta_step=0.008727, half=14, impl="jnp")
+    with pltpu.force_tpu_interpret_mode():
+        vol_pl = correlative.build_score_volume(
+            metric, grid, sx, sy, valid, base, n_theta=3,
+            theta_step=0.008727, half=14, impl="pallas")
+    np.testing.assert_allclose(np.asarray(vol_pl.scores),
+                               np.asarray(vol_jnp.scores), rtol=2e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(vol_pl.counts),
+                               np.asarray(vol_jnp.counts), atol=1e-3)
+
+
 def test_pallas_volume_large_array_small_region_matches_jnp():
     """Full-size fixed array with a small active region (the common case)."""
     rng = np.random.default_rng(9)
