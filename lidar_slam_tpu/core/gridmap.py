@@ -111,12 +111,22 @@ class OccGrid(NamedTuple):
 def _rasterize(local: LocalMap, pixel: float, size: int,
                min_xy: jnp.ndarray, max_xy: jnp.ndarray,
                margin_pixels: int) -> OccGrid:
+    import numpy as np
+
+    # Multiply by the correctly-rounded f32 reciprocal instead of dividing:
+    # XLA:CPU lowers f32 division to a reciprocal+Newton sequence that is off
+    # by 1 ulp from IEEE at rare quotients (observed: 31.449999/0.1 ->
+    # 314.5 vs divss's 314.49997), which snaps a point into the neighboring
+    # cell and forks the trajectory vs the C++ oracle. f32 multiplication is
+    # correctly rounded everywhere, and the oracle computes the same
+    # `1.0f / pixel` with divss — bit-identical by construction.
+    ipixel = jnp.float32(np.float32(1.0) / np.float32(pixel))
     min_xy = min_xy - margin_pixels * pixel
     max_xy = max_xy + margin_pixels * pixel
-    sgrid = (roundf_like((max_xy - min_xy) / pixel) + 1).astype(jnp.int32)  # (2,) = (x_cells, y_cells)
+    sgrid = (roundf_like((max_xy - min_xy) * ipixel) + 1).astype(jnp.int32)  # (2,) = (x_cells, y_cells)
 
-    col = roundf_like((local.xy[:, 0] - min_xy[0]) / pixel).astype(jnp.int32)
-    row = roundf_like((local.xy[:, 1] - min_xy[1]) / pixel).astype(jnp.int32)
+    col = roundf_like((local.xy[:, 0] - min_xy[0]) * ipixel).astype(jnp.int32)
+    row = roundf_like((local.xy[:, 1] - min_xy[1]) * ipixel).astype(jnp.int32)
     cap = local.xy.shape[0]
     row = jnp.where(local.mask, row, size)  # dropped by mode="drop"
     col = jnp.where(local.mask, col, size)

@@ -18,10 +18,14 @@ import jax.numpy as jnp
 def transform_ref(x: jnp.ndarray, y: jnp.ndarray, pose: jnp.ndarray):
     """Reference-convention rigid transform (rotation by -theta).
 
-    pose: (..., 3) = (tx, ty, theta). x, y: (..., N).
+    pose: (..., 3) = (tx, ty, theta). x, y: (..., N). Uses the deterministic
+    trig32 sin/cos so fidelity-path trajectories are bit-comparable with the
+    C++ oracle (see core/trig32.py).
     """
+    from lidar_slam_tpu.core.trig32 import sincos32
+
     tx, ty, theta = pose[..., 0:1], pose[..., 1:2], pose[..., 2:3]
-    ct, st = jnp.cos(theta), jnp.sin(theta)
+    st, ct = sincos32(theta)
     wx = ct * x + st * y + tx
     wy = -st * x + ct * y + ty
     return wx, wy

@@ -57,10 +57,13 @@ def read_scan(ranges: jnp.ndarray, angles: jnp.ndarray, cfg: LidarConfig) -> Sca
     (strict comparisons). Compaction to the front preserves beam order, which
     the downstream map-update indexing depends on.
     """
+    from lidar_slam_tpu.core.trig32 import sincos32
+
     ranges = ranges.astype(jnp.float32)
     ok = (ranges >= cfg.range_min) & (ranges <= cfg.usable_range)
-    x = ranges * jnp.cos(angles)
-    y = ranges * jnp.sin(angles)
+    sa, ca = sincos32(angles)   # deterministic trig shared with the C++ oracle
+    x = ranges * ca
+    y = ranges * sa
     # Stable compaction: position of each valid beam in the packed output.
     # Invalid beams are routed to an out-of-range slot so mode="drop" discards
     # them instead of clobbering the valid write that shares their cumsum slot.

@@ -49,10 +49,22 @@ def get_lib() -> ctypes.CDLL:
         ctypes.c_int, ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_float), ctypes.c_int,
     ]
+    lib.tpuslam_run_cfg.restype = ctypes.c_int
+    lib.tpuslam_run_cfg.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_float, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+    ]
     lib.tpuslam_edt.restype = None
     lib.tpuslam_edt.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
         ctypes.c_float, ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.tpuslam_sincos32.restype = None
+    lib.tpuslam_sincos32.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
     ]
     lib.tpuslam_read_csv.restype = ctypes.c_int
     lib.tpuslam_read_csv.argtypes = [
@@ -68,17 +80,34 @@ def _fptr(a: np.ndarray):
 
 
 def run_oracle(ranges: np.ndarray, use_naive_edt: bool = False,
-               map_capacity: int = 20000):
-    """Run the C++ oracle pipeline. Returns (path (T,3), map (M,2))."""
+               map_capacity: int = 20000, usable_range: float = 0.0,
+               coarse_size: int = 0, fine_size: int = 0):
+    """Run the C++ oracle pipeline. Returns (path (T,3), map (M,2)).
+
+    The keyword overrides (0 = keep the museum defaults) select the
+    building-scale configuration — pass the matching ``SlamConfig`` fields
+    (e.g. ``config.BUILDING_CONFIG``) so oracle-vs-JAX parity is like-for-like.
+    """
     lib = get_lib()
     ranges = np.ascontiguousarray(ranges, np.float32)
     t, n_beams = ranges.shape
     path = np.zeros((t, 3), np.float32)
     omap = np.zeros((map_capacity, 2), np.float32)
-    msize = lib.tpuslam_run(_fptr(ranges), t, n_beams,
-                            1 if use_naive_edt else 0,
-                            _fptr(path), _fptr(omap), map_capacity)
+    msize = lib.tpuslam_run_cfg(_fptr(ranges), t, n_beams,
+                                1 if use_naive_edt else 0,
+                                ctypes.c_float(usable_range),
+                                coarse_size, fine_size, map_capacity,
+                                _fptr(path), _fptr(omap), map_capacity)
     return path, omap[:msize]
+
+
+def run_oracle_cfg(ranges: np.ndarray, cfg, use_naive_edt: bool = False):
+    """run_oracle with sizes taken from a ``SlamConfig``."""
+    return run_oracle(ranges, use_naive_edt=use_naive_edt,
+                      map_capacity=cfg.map.map_capacity,
+                      usable_range=cfg.lidar.usable_range,
+                      coarse_size=cfg.grid.coarse_size,
+                      fine_size=cfg.grid.fine_size)
 
 
 def edt_native(occ: np.ndarray, max_dist: float = 10.0) -> np.ndarray:

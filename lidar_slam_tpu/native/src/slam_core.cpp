@@ -22,6 +22,55 @@
 
 namespace tpuslam {
 
+// Deterministic f32 sin/cos — the bit-exact twin of
+// lidar_slam_tpu/core/trig32.py (see its docstring). Cody-Waite pi/2
+// reduction + cephes minimax polynomials in a fixed op order; compiled with
+// -ffp-contract=off so every multiply/add rounds exactly like XLA:CPU's.
+// Any edit here must be mirrored in trig32.py.
+inline void sincos32(float x, float* s_out, float* c_out) {
+  const float kTwoOverPi = 0.63661975f;           // 0x3f22f983
+  const float kH1 = 1.5703125f;                   // 0x3fc90000
+  const float kH2 = 4.837512969970703e-4f;        // 0x39fda000
+  const float kH3 = 7.549789415861596e-8f;        // 0x33a22169
+  const float kS1 = -1.6666654611e-1f, kS2 = 8.3321608736e-3f,
+              kS3 = -1.9515295891e-4f;
+  const float kC1 = 4.166664568298827e-2f, kC2 = -1.388731625493765e-3f,
+              kC3 = 2.443315711809948e-5f;
+  float t = x * kTwoOverPi;
+  float half = (t > 0.0f) ? 0.5f : ((t < 0.0f) ? -0.5f : 0.0f);
+  float k = std::trunc(t + half);
+  float r = ((x - k * kH1) - k * kH2) - k * kH3;
+  float r2 = r * r;
+  float sp = (kS3 * r2 + kS2) * r2 + kS1;
+  float sinr = (sp * r2) * r + r;
+  float cp = (kC3 * r2 + kC2) * r2 + kC1;
+  float cosr = (cp * r2) * r2 + (1.0f - 0.5f * r2);
+  int q = (int)k % 4;
+  if (q < 0) q += 4;
+  switch (q) {
+    case 0: *s_out = sinr;  *c_out = cosr;  break;
+    case 1: *s_out = cosr;  *c_out = -sinr; break;
+    case 2: *s_out = -sinr; *c_out = -cosr; break;
+    default: *s_out = -cosr; *c_out = sinr; break;
+  }
+}
+
+// 2^-10 lattice snap for EDT outputs — the twin of ops/edt.quantize_metric
+// (see its comment: it makes f32 matcher-score sums order-independent, the
+// second leg of full-scale trajectory parity alongside sincos32).
+// roundf on the half-ulp lattice exactly as the JAX side computes it
+// (core/gridmap.roundf_like = trunc(x + sign(x)*0.5)): the two differ from
+// libm roundf only when x + 0.5 rounds up across an integer in f32 — rare,
+// but one flip forks the trajectory (observed at scan 2696 of building-3800).
+inline float roundf_like(float x) {
+  float half = (x > 0.0f) ? 0.5f : ((x < 0.0f) ? -0.5f : 0.0f);
+  return std::trunc(x + half);
+}
+
+inline float quantize_metric(float d) {
+  return std::trunc(d * 1024.0f + 0.5f) * (1.0f / 1024.0f);
+}
+
 struct Config {
   int n_beams = 1079;
   float angle_min = -2.351831f;
@@ -79,15 +128,18 @@ class Pipeline {
     for (int i = 0; i < cfg_.n_beams; ++i) {
       float r = ranges[i];
       if (r < cfg_.range_min || r > cfg_.usable_range) continue;
-      sx_.push_back(r * std::cos(angles_[i]));
-      sy_.push_back(r * std::sin(angles_[i]));
+      float s, c;
+      sincos32(angles_[i], &s, &c);
+      sx_.push_back(r * c);
+      sy_.push_back(r * s);
     }
   }
 
   // Reference-convention rigid transform: w = A(theta) p + t,
   // A = [[c, s], [-s, c]].
   void TransformScan(const float* pose) {
-    float c = std::cos(pose[2]), s = std::sin(pose[2]);
+    float s, c;
+    sincos32(pose[2], &s, &c);
     size_t n = sx_.size();
     wx_.resize(n);
     wy_.resize(n);
@@ -138,16 +190,20 @@ class Pipeline {
     min_y -= cfg_.margin_px * pixel;
     max_x += cfg_.margin_px * pixel;
     max_y += cfg_.margin_px * pixel;
-    int cells_x = (int)std::round((max_x - min_x) / pixel) + 1;
-    int cells_y = (int)std::round((max_y - min_y) / pixel) + 1;
+    // Multiply by the f32 reciprocal (not divide): XLA:CPU's f32 division is
+    // off by 1 ulp from IEEE at rare quotients; the JAX raster therefore
+    // multiplies by 1/pixel, and the oracle must round identically.
+    const float ipix = 1.0f / pixel;
+    int cells_x = (int)roundf_like((max_x - min_x) * ipix) + 1;
+    int cells_y = (int)roundf_like((max_y - min_y) * ipix) + 1;
     g.n_cols = cells_x;
     g.n_rows = cells_y;
     g.origin_x = min_x;
     g.origin_y = min_y;
     std::fill(occ.begin(), occ.end(), 0);
     for (size_t i = 0; i < lx_.size(); ++i) {
-      int col = (int)std::round((lx_[i] - min_x) / pixel);
-      int row = (int)std::round((ly_[i] - min_y) / pixel);
+      int col = (int)roundf_like((lx_[i] - min_x) * ipix);
+      int row = (int)roundf_like((ly_[i] - min_y) * ipix);
       if (row >= 0 && row < size && col >= 0 && col < size)
         occ[(size_t)row * size + col] = 1;
     }
@@ -188,7 +244,7 @@ class Pipeline {
         }
         float dist =
             std::min(std::sqrt(best), cfg_.max_dist_px);
-        out[x] = occ[(size_t)y * size + x] ? 0.f : dist;
+        out[x] = occ[(size_t)y * size + x] ? 0.f : quantize_metric(dist);
       }
     }
   }
@@ -212,7 +268,7 @@ class Pipeline {
               if ((float)d2 < min_dist * min_dist)
                 min_dist = std::sqrt((float)d2);
             }
-        out = min_dist;
+        out = quantize_metric(min_dist);
       }
     }
   }
@@ -249,7 +305,8 @@ class Pipeline {
     float best_score = std::numeric_limits<float>::infinity();
     float best_pose[3] = {pose[0], pose[1], pose[2]};
     for (int a = 0; a < 3; ++a) {
-      float c = std::cos(thetas[a]), s = std::sin(thetas[a]);
+      float s, c;
+      sincos32(thetas[a], &s, &c);
       rx_.resize(n);
       ry_.resize(n);
       for (size_t i = 0; i < n; ++i) {
@@ -264,8 +321,8 @@ class Pipeline {
           int cnt = 0;
           last_hits_.resize(n);
           for (size_t i = 0; i < n; ++i) {
-            int cx = (int)std::round(rx_[i] + offx) + 1;
-            int cy = (int)std::round(ry_[i] + offy) + 1;
+            int cx = (int)roundf_like(rx_[i] + offx) + 1;
+            int cy = (int)roundf_like(ry_[i] + offy) + 1;
             if (cx > 1 && cy > 1 && cx < g.n_cols && cy < g.n_rows) {
               float v = g.metric[(size_t)(cy - 1) * g.stride + (cx - 1)];
               last_hits_[cnt++] = v;
@@ -279,6 +336,7 @@ class Pipeline {
             best_pose[1] = tys[d];
             best_pose[2] = thetas[a];
             best_count_ = cnt;
+            last_best_idx_ = (a * 3 + b) * 3 + d;
           }
         }
       }
@@ -286,6 +344,7 @@ class Pipeline {
     pose[0] = best_pose[0];
     pose[1] = best_pose[1];
     pose[2] = best_pose[2];
+    last_best_score_ = best_score;
   }
 
   // Run the whole dataset; writes poses (n_scans x 3) and returns map size.
@@ -317,7 +376,21 @@ class Pipeline {
       float matched[3] = {guess[0], guess[1], guess[2]};
       Match(mini_updated ? coarse_ : fine_, matched, cfg_.coarse_t,
             cfg_.coarse_r);
+      if (dbg_) {
+        float* row = dbg_ + (size_t)t * 8;
+        row[0] = (float)last_best_idx_;
+        row[1] = last_best_score_;
+      }
       Match(fine_, matched, cfg_.fine_t, cfg_.fine_r);
+      if (dbg_) {
+        float* row = dbg_ + (size_t)t * 8;
+        row[2] = (float)last_best_idx_;
+        row[3] = last_best_score_;
+        row[4] = (float)sx_.size();
+        row[5] = (float)best_count_;
+        row[6] = mini_updated ? 1.f : 0.f;
+        row[7] = (float)map_x_.size();
+      }
       float dp[3];
       for (int i = 0; i < 3; ++i) dp[i] = std::fabs(matched[i] - key_pose_[i]);
       if (dp[0] > cfg_.mini_dt || dp[1] > cfg_.mini_dt || dp[2] > cfg_.mini_dr) {
@@ -362,6 +435,11 @@ class Pipeline {
   std::vector<float> px_, py_, rx_, ry_;      // matcher scratch
   std::vector<float> last_hits_;
   int last_count_ = 0, best_count_ = 0;
+ public:
+  int last_best_idx_ = -1;
+  float last_best_score_ = 0.f;
+  float* dbg_ = nullptr;   // instrumentation: 8 floats per scan when set
+ private:
   Grid coarse_, fine_;
   float key_pose_[3] = {0.f, 0.f, 0.f};
 };
@@ -369,6 +447,24 @@ class Pipeline {
 }  // namespace tpuslam
 
 extern "C" {
+
+// Instrumented run: writes 8 floats per scan into dbg (m1 idx, m1 score,
+// m2 idx, m2 score, gated beam count, best_count, miniUpdated-at-entry,
+// map size). For parity debugging only.
+int tpuslam_run_debug(const float* ranges, int n_scans, int n_beams,
+                      float usable_range, int coarse_size, int fine_size,
+                      int map_capacity, float* out_path, float* dbg) {
+  tpuslam::Config cfg;
+  cfg.n_beams = n_beams;
+  if (usable_range > 0.f) cfg.usable_range = usable_range;
+  if (coarse_size > 0) cfg.coarse_size = coarse_size;
+  if (fine_size > 0) cfg.fine_size = fine_size;
+  if (map_capacity > 0) cfg.map_capacity = map_capacity;
+  tpuslam::Pipeline p(cfg);
+  p.dbg_ = dbg;
+  return p.Run(ranges, n_scans, out_path, nullptr, 0);
+}
+
 
 // Returns the number of map points written (<= map_capacity_out).
 int tpuslam_run(const float* ranges, int n_scans, int n_beams, int use_naive_edt,
@@ -378,6 +474,28 @@ int tpuslam_run(const float* ranges, int n_scans, int n_beams, int use_naive_edt
   cfg.use_naive_edt = use_naive_edt;
   tpuslam::Pipeline p(cfg);
   return p.Run(ranges, n_scans, out_path, out_map, map_capacity_out);
+}
+
+// Configurable variant for non-museum workloads (building-scale grids/maps).
+// Zero/negative overrides keep the museum defaults.
+int tpuslam_run_cfg(const float* ranges, int n_scans, int n_beams,
+                    int use_naive_edt, float usable_range, int coarse_size,
+                    int fine_size, int map_capacity, float* out_path,
+                    float* out_map, int map_capacity_out) {
+  tpuslam::Config cfg;
+  cfg.n_beams = n_beams;
+  cfg.use_naive_edt = use_naive_edt;
+  if (usable_range > 0.f) cfg.usable_range = usable_range;
+  if (coarse_size > 0) cfg.coarse_size = coarse_size;
+  if (fine_size > 0) cfg.fine_size = fine_size;
+  if (map_capacity > 0) cfg.map_capacity = map_capacity;
+  tpuslam::Pipeline p(cfg);
+  return p.Run(ranges, n_scans, out_path, out_map, map_capacity_out);
+}
+
+// Batch sincos probe (for trig32 bit-exactness tests).
+void tpuslam_sincos32(const float* x, int n, float* s, float* c) {
+  for (int i = 0; i < n; ++i) tpuslam::sincos32(x[i], &s[i], &c[i]);
 }
 
 // Standalone clamped EDT (for kernel unit tests): occ is h*w uint8,
@@ -400,7 +518,7 @@ void tpuslam_edt(const uint8_t* occ, int h, int w, float max_dist, float* out) {
             if ((float)d2 < min_dist * min_dist)
               min_dist = std::sqrt((float)d2);
           }
-      out[(size_t)y * w + x] = min_dist;
+      out[(size_t)y * w + x] = tpuslam::quantize_metric(min_dist);
     }
   }
 }

@@ -30,7 +30,23 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_INF = jnp.float32(3.0e38)
+_INF = np.float32(3.0e38)  # np scalar: inlined literal, never a hoisted const-buffer
+
+# Distances are snapped to the 2^-10 lattice (see quantize_metric). With all
+# values in [0, 10] on that lattice, a matcher score (sum over <= 1079 beams,
+# bound 10790 < 2^14) and every partial sum are integer multiples of 2^-10
+# below 2^24 * 2^-10 — exactly representable in f32 — so f32 summation is
+# associative here and the score is identical no matter how XLA vs the C++
+# oracle order the reduction. This is what makes trajectory parity enforceable
+# at full workload scale: near-tie argmin candidates tie *exactly* in both
+# implementations and resolve by the shared first-minimum order.
+QUANT = np.float32(1024.0)
+QUANT_INV = np.float32(1.0 / 1024.0)
+
+
+def quantize_metric(dist: jnp.ndarray) -> jnp.ndarray:
+    """Snap non-negative distances to multiples of 2^-10 (roundf semantics)."""
+    return jnp.trunc(dist * QUANT + jnp.float32(0.5)) * QUANT_INV
 
 
 @functools.partial(jax.jit, static_argnames=("max_dist",))
@@ -61,7 +77,7 @@ def edt_clamped(occ: jnp.ndarray, max_dist: int = 10) -> jnp.ndarray:
         d2 = jnp.minimum(d2, shifted + jnp.float32(dy * dy))
 
     dist = jnp.minimum(jnp.sqrt(jnp.minimum(d2, _INF)), max_f)
-    return jnp.where(occ, jnp.float32(0.0), dist)
+    return jnp.where(occ, jnp.float32(0.0), quantize_metric(dist))
 
 
 def edt(occ: jnp.ndarray, max_dist: int = 10) -> jnp.ndarray:
@@ -107,7 +123,7 @@ def edt_clamped_scatter_variant(occ: jnp.ndarray, max_dist: int = 10) -> jnp.nda
     for dy in range(-r, r + 1):
         shifted = jax.lax.dynamic_slice(d1_pad, (dy + r, 0), (h, w))
         d2 = jnp.minimum(d2, shifted + jnp.float32(dy * dy))
-    return jnp.minimum(jnp.sqrt(jnp.minimum(d2, _INF)), max_f)
+    return quantize_metric(jnp.minimum(jnp.sqrt(jnp.minimum(d2, _INF)), max_f))
 
 
 def edt_clamped_reference(occ: np.ndarray, max_dist: float = 10.0) -> np.ndarray:
@@ -133,5 +149,7 @@ def edt_clamped_reference(occ: np.ndarray, max_dist: float = 10.0) -> np.ndarray
                 best = np.float32(np.sqrt(np.min(d2)))
                 if best < min_dist:
                     min_dist = best
-            out[y, x] = min_dist
+            out[y, x] = np.float32(np.trunc(min_dist * np.float32(1024.0)
+                                            + np.float32(0.5))
+                                   * np.float32(1.0 / 1024.0))
     return out

@@ -65,11 +65,12 @@ def project_scan(scan_x: jnp.ndarray, scan_y: jnp.ndarray,
     Returns integer cell coords (C, N) in the reference's 1-based convention
     (Sx, Sy) plus the float intermediate, reproducing main.c:417-503.
     """
+    from lidar_slam_tpu.core.trig32 import sincos32
+
     ipixel = jnp.float32(1.0 / grid.pixel)
     px = scan_x * ipixel  # (N,)
     py = scan_y * ipixel
-    ct = jnp.cos(poses[:, 2:3])  # (C,1)
-    st = jnp.sin(poses[:, 2:3])
+    st, ct = sincos32(poses[:, 2:3])  # (C,1) — oracle-identical trig
     sx = px[None, :] * ct + py[None, :] * st       # (C, N)
     sy = -px[None, :] * st + py[None, :] * ct
     offx = (poses[:, 0:1] - grid.origin[0]) * ipixel

@@ -52,6 +52,10 @@ def _edt_kernel(occ_ref, out_ref, *, max_dist: int):
         d2 = jnp.minimum(d2, jnp.where(ok, shifted, inf) + jnp.float32(dy * dy))
 
     dist = jnp.minimum(jnp.sqrt(jnp.minimum(d2, inf)), jnp.float32(max_dist))
+    # 2^-10 lattice snap (ops/edt.quantize_metric): keeps matcher scores
+    # order-independent in f32, hence bit-comparable with the C++ oracle
+    dist = jnp.trunc(dist * jnp.float32(1024.0) + jnp.float32(0.5)) \
+        * jnp.float32(1.0 / 1024.0)
     out_ref[:] = jnp.where(occ > 0, jnp.float32(0.0), dist)
 
 

@@ -73,7 +73,9 @@ def _edt_shard_kernel(occ_local: jnp.ndarray, *, r: int, max_dist: float,
     d2 = _pass2_cols(d1_ext, r)
     dist = jnp.minimum(jnp.sqrt(jnp.minimum(d2, jnp.float32(_INF))),
                        jnp.float32(max_dist))
-    return jnp.where(occ_local, jnp.float32(0.0), dist)
+    from lidar_slam_tpu.ops.edt import quantize_metric
+
+    return jnp.where(occ_local, jnp.float32(0.0), quantize_metric(dist))
 
 
 def edt_sharded(occ: jnp.ndarray, mesh: Mesh, axis: str = "map",

@@ -25,6 +25,13 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute integration runs. Quick tier (<5 min, oracle "
+        "parity + kernels + collectives): pytest tests/ -m 'not slow'")
+
+
 @pytest.fixture(scope="session")
 def small_dataset():
     """A short synthetic dataset shared across tests (80 scans)."""

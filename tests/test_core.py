@@ -67,3 +67,57 @@ def test_rasterize_places_points():
     assert occ.sum() == 2
     assert int(fine.n_cols) == 11
     assert np.asarray(fine.occ).sum() == 2
+
+
+def test_trig32_matches_native():
+    """The C++ sincos32 twin must stay bit-identical to the trig32 formula
+    (first leg of full-scale trajectory parity; see trig32.py docstring).
+
+    The bit-exact leg is checked against a numpy evaluation of the formula
+    (numpy ops are correctly rounded and never FMA-contracted). The jitted
+    JAX version is allowed 1 ulp of slack: XLA:CPU contracts mul+add chains
+    into FMAs in some environments (plugin-load-order dependent), which
+    perturbs the polynomial by <= 1 ulp — the end-to-end trajectory parity
+    tests (test_pipeline_parity.py) enforce that this never flips a cell or
+    an argmin over full workloads on either backend."""
+    import ctypes
+
+    import jax
+    import jax.numpy as jnp
+
+    from lidar_slam_tpu import native
+    from lidar_slam_tpu.core import trig32
+
+    def sincos32_np(x):
+        f = np.float32
+        t = x * f(0.63661975)
+        k = np.trunc(t + np.sign(t) * f(0.5))
+        r = ((x - k * f(1.5703125)) - k * f(4.837512969970703e-4)) \
+            - k * f(7.549789415861596e-8)
+        r2 = r * r
+        sp = (f(-1.9515295891e-4) * r2 + f(8.3321608736e-3)) * r2 \
+            + f(-1.6666654611e-1)
+        sinr = (sp * r2) * r + r
+        cp = (f(2.443315711809948e-5) * r2 + f(-1.388731625493765e-3)) * r2 \
+            + f(4.166664568298827e-2)
+        cosr = (cp * r2) * r2 + (f(1.0) - f(0.5) * r2)
+        q = np.mod(k.astype(np.int32), 4)
+        sin = np.select([q == 0, q == 1, q == 2], [sinr, cosr, -sinr], -cosr)
+        cos = np.select([q == 0, q == 1, q == 2], [cosr, -sinr, -cosr], sinr)
+        return sin.astype(np.float32), cos.astype(np.float32)
+
+    lib = native.get_lib()
+    x = np.random.default_rng(7).uniform(-50, 50, 65536).astype(np.float32)
+    s_n, c_n = sincos32_np(x)
+    s_c = np.zeros_like(x)
+    c_c = np.zeros_like(x)
+    fp = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    lib.tpuslam_sincos32(fp(x), len(x), fp(s_c), fp(c_c))
+    assert np.array_equal(s_n, s_c)
+    assert np.array_equal(c_n, c_c)
+    # jitted JAX: identical up to possible FMA contraction (1 ulp)
+    s_j, c_j = jax.jit(trig32.sincos32)(jnp.asarray(x))
+    assert np.abs(np.asarray(s_j) - s_n).max() <= 1.2e-7
+    assert np.abs(np.asarray(c_j) - c_n).max() <= 1.2e-7
+    # and accurate, not merely identical
+    assert np.abs(s_n - np.sin(x.astype(np.float64))).max() < 2e-7
