@@ -81,6 +81,12 @@ class ParticleConfig:
     # scales with T * W^2.
     vol_theta_bins: int = 7         # theta bins at fine_r step
     vol_half: int = 6               # +-pixels covered; window = 2*half+1
+    # multi-resolution cascade (ops/correlative.build_cascade): level l adds a
+    # volume at 2^l x pixel/theta scale, so particles escaping the fine
+    # +-0.6 m window are scored (not edge-clamped) out to +-0.6*2^(l) m.
+    # 1 = fine volume only (round-1 behavior). The escape fraction is
+    # exposed as ParticleState.clamp_frac.
+    cascade_levels: int = 2
     # gradient-guided proposal refinement (FastSLAM-2.0-style): descend the
     # interpolated distance field before weighting; 0 disables
     grad_refine_steps: int = 0
@@ -132,3 +138,15 @@ class SlamConfig:
 
 
 DEFAULT_CONFIG = SlamConfig()
+
+# Building-scale workload (io/simulate.building_world): with the reference's
+# 24 m usable-range gate, a hall/corridor scan's local-map AABB reaches
+# 2*24 + 2*border + 6*pixel ~ 50.6 m — beyond the museum grids' 40 m coverage
+# (200 @ 0.2 m / 400 @ 0.1 m, main.c:200-213, which the reference would
+# silently overflow). The building preset widens the fixed rasters to 51.2 m
+# and the point map to 40k points (the 20k buffer saturates ~1/3 through the
+# tour and the matcher loses surfaces behind it).
+BUILDING_CONFIG = SlamConfig(
+    grid=GridConfig(coarse_size=256, fine_size=512),
+    map=MapConfig(map_capacity=40000, local_map_capacity=40000),
+)

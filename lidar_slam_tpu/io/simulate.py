@@ -152,6 +152,58 @@ LOOP_WAYPOINTS = np.asarray([
 ], np.float64)
 
 
+def building_world() -> World:
+    """A 60x45 m multi-hall building — the museum-scale hard workload.
+
+    Mirrors the scale of the reference's real run (the Deutsches Museum log:
+    3480 scans used of 5522, ``Subsystem_1/main_accelerated.c:6``, 60 m max
+    ranges ``main.c:50``): a 60 m east-west central corridor gives sightlines
+    that exercise the full sensor range, the four flanking halls have >35 m
+    diagonals, and the gated 24 m scans produce local-map AABBs beyond the
+    museum configuration's 40 m grid coverage (hence ``BUILDING_CONFIG``).
+    """
+    segs: list[tuple[float, float, float, float]] = []
+    segs += _box(0.0, 0.0, 60.0, 45.0)                       # outer shell
+    # central corridor walls (y=19.5 and y=25.5) with hall doors
+    for x0, x1 in [(0.0, 10.0), (14.0, 44.0), (48.0, 60.0)]:
+        segs += [(x0, 19.5, x1, 19.5)]                       # south wall, doors 10-14, 44-48
+    for x0, x1 in [(0.0, 16.0), (20.0, 40.0), (44.0, 60.0)]:
+        segs += [(x0, 25.5, x1, 25.5)]                       # north wall, doors 16-20, 40-44
+    # hall dividers (south: x=30; north: x=30) with 4 m doors
+    segs += [(30.0, 0.0, 30.0, 8.0), (30.0, 12.0, 30.0, 19.5)]
+    segs += [(30.0, 25.5, 30.0, 33.0), (30.0, 37.0, 30.0, 45.0)]
+    # pillars in the halls (structural grid, 0.3 m half-size)
+    for cx in (8.0, 16.0, 24.0, 38.0, 46.0, 54.0):
+        for cy in (6.0, 13.0, 32.0, 39.0):
+            s = 0.3
+            segs += _box(cx - s, cy - s, cx + s, cy + s)
+    # corridor clutter (benches/cabinets) breaking the longitudinal ambiguity
+    for cx, cy in [(6.0, 20.0), (18.0, 24.8), (26.0, 20.1), (36.0, 24.9),
+                   (50.0, 20.2), (56.0, 24.7)]:
+        segs += _box(cx, cy - 0.25, cx + 1.5, cy + 0.25)
+    # exhibit stands inside the visited halls
+    for cx, cy in [(10.0, 9.5), (20.0, 4.0), (14.0, 16.0), (42.0, 9.0),
+                   (52.0, 15.0), (48.0, 4.5)]:
+        segs += _box(cx - 0.6, cy - 0.4, cx + 0.6, cy + 0.4)
+    return World(segments=np.asarray(segs, np.float64))
+
+
+# Building tour (~156 m at 0.4 m/s x 10 Hz = 3894 scans): loop hall A (SW),
+# corridor east, dip into hall B (SE), corridor back west (the ~950-scan
+# revisit starting near scan 2500), re-enter hall A around scan 3700.
+BUILDING_WAYPOINTS = np.asarray([
+    (6.0, 6.0), (6.0, 14.0), (12.0, 16.0), (16.0, 9.5), (11.0, 4.5),
+    (7.0, 6.0),                                                  # hall A loop
+    (11.5, 13.0), (12.0, 21.5), (24.0, 22.5), (36.0, 22.4), (45.5, 22.2),  # corridor east
+    (47.5, 16.0), (52.0, 13.0), (53.5, 17.0), (49.0, 20.0),      # hall B dip
+    (44.0, 22.6), (32.0, 22.4), (20.0, 22.6), (13.0, 22.3),      # corridor west (revisit)
+    (11.5, 15.5), (8.5, 10.0), (6.5, 7.0), (6.2, 10.0),          # hall A revisit
+], np.float64)
+
+BUILDING_N_SCANS = 3800    # of the 3894 the tour supports (cf. ref: 3480 of 5522)
+BUILDING_SPEED = 0.4       # m/s; per-step displacement 4 cm < the 5 cm coarse step
+
+
 def landmark_positions(world: World | None = None) -> np.ndarray:
     """Point landmarks for the EKF-SLAM model family: pillar centers plus
     room corners (stable, distinguishable features of the museum world)."""

@@ -52,3 +52,49 @@ def test_naive_edt_oracle_agrees(small_dataset):
     p_fast, _ = native.run_oracle(ranges[:30])
     p_naive, _ = native.run_oracle(ranges[:30], use_naive_edt=True)
     assert max_abs_err(p_fast, p_naive) == 0.0
+
+
+@pytest.mark.slow
+def test_museum_1000_bit_exact():
+    """Full-dataset parity pin: x, y AND theta bit-identical over 1000 scans.
+
+    Round 1 could only claim xy (theta forked at a cosf-ulp argmin tie,
+    PARITY.md). The determinism work (core/trig32.py shared sin/cos, the
+    2^-10 score lattice in ops/edt.quantize_metric, reciprocal-multiply
+    rasterization in core/gridmap._rasterize) makes the full pose exact."""
+    from lidar_slam_tpu.io import dataset
+
+    ranges, _, _ = dataset.ensure_dataset(n_scans=1000, seed=0)
+    cpath, _ = native.run_oracle(ranges)
+    jpath, _ = scan_matcher.run_scan(ranges, DEFAULT_CONFIG)
+    assert np.array_equal(np.asarray(jpath), cpath)
+
+
+@pytest.mark.slow
+def test_building_3800_bit_exact():
+    """The museum-scale hard workload (60x45 m, 3800 scans, 60 m sightlines):
+    full-pose bit-exact parity on the enlarged BUILDING_CONFIG grids."""
+    from lidar_slam_tpu.config import BUILDING_CONFIG
+    from lidar_slam_tpu.io import dataset, simulate
+
+    ranges, gt, _ = dataset.ensure_dataset(
+        n_scans=simulate.BUILDING_N_SCANS, world="building")
+    cpath, _ = native.run_oracle_cfg(ranges, BUILDING_CONFIG)
+    jpath, _ = scan_matcher.run_scan(ranges, BUILDING_CONFIG)
+    assert np.array_equal(np.asarray(jpath), cpath)
+    # the single-hypothesis matcher drifts in the 60 m corridor (no loop
+    # closure; same on both sides) — pin the regime so quality regressions
+    # and accidental improvements both surface
+    assert 3.0 < ate(cpath, gt) < 8.0
+
+
+def test_building_prefix_bit_exact():
+    """Quick-tier building parity (200 scans incl. several keyframe rebuilds)."""
+    from lidar_slam_tpu.config import BUILDING_CONFIG
+    from lidar_slam_tpu.io import dataset, simulate
+
+    ranges, _, _ = dataset.ensure_dataset(
+        n_scans=simulate.BUILDING_N_SCANS, world="building")
+    cpath, _ = native.run_oracle_cfg(ranges[:200], BUILDING_CONFIG)
+    jpath, _ = scan_matcher.run_scan(ranges[:200], BUILDING_CONFIG)
+    assert np.array_equal(np.asarray(jpath), cpath)
