@@ -1,6 +1,13 @@
-"""EKF-FastSLAM model family: tracking + landmark recovery."""
+"""EKF-FastSLAM model family: tracking + landmark recovery.
+
+Covers both association modes: the known-association batch update (library
+API, simulator-fed) and the scan-driven per-particle maximum-likelihood
+association path (`run --mode ekf`: raw ranges -> corner detections ->
+FastSLAM with GN-refined proposals).
+"""
 
 import numpy as np
+import pytest
 
 from lidar_slam_tpu.io import simulate
 from lidar_slam_tpu.models import ekf_slam
@@ -26,11 +33,96 @@ def test_ekf_slam_tracks_and_maps():
     assert err_slam < 0.2, f"EKF-SLAM lost track: {err_slam:.3f}"
     assert err_slam < err_dead * 0.9, (err_slam, err_dead)
 
-    # landmarks seen during the run must be localized
+    # landmarks seen during the run must be localized (known association:
+    # every particle shares the same seen set)
     est_lms = ekf_slam.landmark_estimates(final)
-    seen = np.asarray(final.lm_seen)
+    seen_pl = np.asarray(final.lm_seen)
+    seen = seen_pl.all(axis=0)
+    np.testing.assert_array_equal(seen, seen_pl.any(axis=0))
     seen_any = vis.any(axis=0)
     np.testing.assert_array_equal(seen, seen_any)
     errs = np.linalg.norm(est_lms[seen] - lms[seen], axis=1)
     assert errs.max() < 0.5, errs
     assert np.median(errs) < 0.15, errs
+
+
+def test_corner_extraction_precision():
+    """Corners extracted from scans must land on true wall intersections."""
+    import jax
+    import jax.numpy as jnp
+
+    from lidar_slam_tpu.config import LidarConfig
+    from lidar_slam_tpu.core.sensor import beam_angles
+    from lidar_slam_tpu.ops import landmarks as lm_ops
+
+    rng = np.random.default_rng(5)
+    world = simulate.museum_world()
+    traj = simulate.smooth_trajectory(simulate.DEFAULT_WAYPOINTS)[:40]
+    angles = beam_angles(LidarConfig())
+    n_hit, n_tot = 0, 0
+    for t in range(0, 40, 8):
+        r = simulate.raycast(world, traj[t], angles)
+        r = (r + rng.normal(0, 0.008, r.shape) * (r > 0)).astype(np.float32)
+        det = jax.jit(lambda rr: lm_ops.extract_corners(
+            jnp.asarray(rr), jnp.asarray(angles)))(r)
+        x0, y0, th = traj[t]
+        c, s = np.cos(th), np.sin(th)
+        segs = world.segments
+        # candidate true corners: all segment endpoints
+        ends = np.concatenate([segs[:, :2], segs[:, 2:]], axis=0)
+        for m in range(int(det.count)):
+            rr, b = np.asarray(det.rb[m])
+            px, py = rr * np.cos(b), rr * np.sin(b)
+            wx = c * px + s * py + x0
+            wy = -s * px + c * py + y0
+            d = np.hypot(ends[:, 0] - wx, ends[:, 1] - wy).min()
+            n_tot += 1
+            n_hit += d < 0.15
+    assert n_tot >= 5
+    assert n_hit / n_tot > 0.8, (n_hit, n_tot)
+
+
+def test_ml_association_robust_to_miss_and_spurious():
+    """Per-particle ML association must survive dropped and spurious
+    detections (the VERDICT round-2 robustness pin)."""
+    import jax.numpy as jnp
+
+    odom, obs, vis, gt, lms = simulate.generate_ekf_dataset(n_scans=300, seed=2)
+    t_, l_ = vis.shape
+    m = 12
+    rng = np.random.default_rng(0)
+    rb = np.zeros((t_, m, 2), np.float32)
+    val = np.zeros((t_, m), bool)
+    for t in range(t_):
+        js = list(np.nonzero(vis[t])[0])
+        if js and rng.random() < 0.3:
+            js.pop(rng.integers(len(js)))          # miss a detection
+        k = 0
+        for j in js[:m]:
+            rb[t, k] = obs[t, j]
+            val[t, k] = True
+            k += 1
+        if k < m and rng.random() < 0.2:           # spurious detection
+            rb[t, k] = (rng.uniform(1.0, 10.0), rng.uniform(-2.0, 2.0))
+            val[t, k] = True
+    cfg = ekf_slam.EkfSlamConfig(n_particles=256, max_landmarks=32,
+                                 new_lm_logp0=-6.0)
+    path, final = ekf_slam._run_ml_jit(jnp.asarray(rb[1:]),
+                                       jnp.asarray(val[1:]), cfg, 0)
+    err = ate(np.asarray(path), gt)
+    assert err < 0.25, f"ML association lost track: {err:.3f}"
+
+
+@pytest.mark.slow
+def test_scan_driven_ekf_tracks_museum():
+    """End-to-end `--mode ekf`: raw ranges in, trajectory out, ATE < 0.1 m."""
+    from lidar_slam_tpu.io import dataset
+
+    ranges, gt, _ = dataset.ensure_dataset(n_scans=400, seed=0)
+    cfg = ekf_slam.EkfSlamConfig(n_particles=512, max_landmarks=48,
+                                 r_noise=0.05, b_noise=0.008,
+                                 odo_xy_noise=0.008, odo_th_noise=0.003,
+                                 new_lm_logp0=-6.0)
+    path, final = ekf_slam.run_ekf_slam_scan(ranges, cfg)
+    err = ate(np.asarray(path), gt)
+    assert err < 0.1, f"scan-driven EKF ATE {err:.3f}"
