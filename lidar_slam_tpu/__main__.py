@@ -32,13 +32,24 @@ def _load_ranges(args) -> tuple[np.ndarray, np.ndarray | None]:
 
         n_rows = args.scans or sum(1 for _ in open(args.dataset))
         return native.read_csv(args.dataset, n_rows), None
-    n = args.scans or 1000
+    world = getattr(args, "world", "museum")
+    n = args.scans or (simulate.BUILDING_N_SCANS if world == "building" else 1000)
     if getattr(args, "loop", False):
         ranges, gt = simulate.generate_dataset(
             n_scans=n, seed=args.seed, waypoints=simulate.LOOP_WAYPOINTS)
     else:
-        ranges, gt, _ = dataset.ensure_dataset(n_scans=n, seed=args.seed)
+        ranges, gt, _ = dataset.ensure_dataset(n_scans=n, seed=args.seed,
+                                               world=world)
     return np.asarray(ranges), np.asarray(gt)
+
+
+def _base_config(args):
+    """Pick the grid/map preset matching the workload world."""
+    from lidar_slam_tpu.config import BUILDING_CONFIG, DEFAULT_CONFIG
+
+    if getattr(args, "world", "museum") == "building":
+        return BUILDING_CONFIG
+    return DEFAULT_CONFIG
 
 
 def cmd_simulate(args) -> int:
@@ -55,13 +66,13 @@ def cmd_simulate(args) -> int:
 
 
 def cmd_run(args) -> int:
-    from lidar_slam_tpu.config import DEFAULT_CONFIG, ParticleConfig
+    from lidar_slam_tpu.config import ParticleConfig
     from lidar_slam_tpu.utils import viz
     from lidar_slam_tpu.utils.metrics import ate
 
     ranges, gt = _load_ranges(args)
     cfg = dataclasses.replace(
-        DEFAULT_CONFIG,
+        _base_config(args),
         particles=ParticleConfig(n_particles=args.particles))
 
     ate_from = 0  # resumed runs only report ATE over the resumed suffix
@@ -99,22 +110,23 @@ def cmd_run(args) -> int:
             print(f"checkpoint -> {args.checkpoint}")
         map_xy = np.asarray(state.pmap.xy[: int(state.pmap.size)])
     elif args.mode == "ekf":
-        from lidar_slam_tpu.io import simulate
+        # Scan-driven EKF-FastSLAM: the same ranges CSV as every other mode;
+        # landmarks are corner detections extracted from the scans
+        # (ops/landmarks.py) with per-particle ML association.
         from lidar_slam_tpu.models import ekf_slam
 
-        odom, obs, vis, gt_e, lms = simulate.generate_ekf_dataset(
-            n_scans=args.scans or 500, seed=args.seed)
         ecfg = ekf_slam.EkfSlamConfig(n_particles=args.particles,
-                                      max_landmarks=lms.shape[0])
-        path, final = ekf_slam.run_ekf_slam(odom, obs, vis, ecfg)
+                                      max_landmarks=48,
+                                      r_noise=0.05, b_noise=0.008,
+                                      odo_xy_noise=0.008, odo_th_noise=0.003,
+                                      new_lm_logp0=-6.0)
+        path, final = ekf_slam.run_ekf_slam_scan(
+            ranges, ecfg, lidar_cfg=cfg.lidar, seed=args.seed)
         path = np.asarray(path)
-        gt = gt_e
         est_lms = ekf_slam.landmark_estimates(final)
-        seen = np.asarray(final.lm_seen)
-        errs = np.linalg.norm(est_lms[seen] - lms[seen], axis=1)
-        print(f"landmarks seen {int(seen.sum())}/{len(lms)}; "
-              f"median error {np.median(errs):.3f} m")
-        map_xy = est_lms[seen]
+        n_seen = float(np.asarray(final.lm_seen).sum(axis=1).mean())
+        print(f"landmark slots in use (mean over particles): {n_seen:.1f}")
+        map_xy = est_lms[np.asarray(final.lm_seen).any(axis=0)]
     elif args.mode == "submap":
         from lidar_slam_tpu.models import submap_slam
         from lidar_slam_tpu.utils import paging
@@ -149,7 +161,6 @@ def cmd_run(args) -> int:
 
         gs = GraphSlam(cfg)
         path, opt_kf = gs.run(ranges)
-        map_xy = np.asarray(gs.kf.x[: int(gs.kf.count)]).reshape(-1, 1)
         # world-frame keyframe points from optimized poses
         pts = []
         for k in range(int(gs.kf.count)):
@@ -188,7 +199,8 @@ def cmd_oracle(args) -> int:
 
     ranges, gt = _load_ranges(args)
     t0 = time.time()
-    path, omap = native.run_oracle(ranges, use_naive_edt=args.naive_edt)
+    path, omap = native.run_oracle_cfg(ranges, _base_config(args),
+                                       use_naive_edt=args.naive_edt)
     dt = time.time() - t0
     print(f"oracle: {len(path)} scans in {dt:.2f}s = {len(path) / dt:.1f} scans/s"
           f" ({'naive' if args.naive_edt else 'separable'} EDT)")
@@ -224,6 +236,11 @@ def main(argv=None) -> int:
                         help="CSV of range rows (default: synthesize)")
         sp.add_argument("--loop", action="store_true",
                         help="use the loop-closure trajectory")
+        sp.add_argument("--world", choices=["museum", "building"],
+                        default="museum",
+                        help="synthetic workload: museum (20x15 m) or the "
+                        "building-scale hard workload (60x45 m, 3800 scans; "
+                        "selects BUILDING_CONFIG grids automatically)")
 
     sp = sub.add_parser("simulate", help="generate a synthetic dataset CSV")
     common(sp)

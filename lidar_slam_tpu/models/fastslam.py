@@ -46,6 +46,8 @@ class ParticleState(NamedTuple):
     fine: OccGrid
     fine_metric: jnp.ndarray   # (Sf, Sf) f32
     rng: jnp.ndarray           # PRNG key carried in-state (on-device loop)
+    clamp_frac: jnp.ndarray    # () f32 — fraction of particles that escaped
+                               # the fine scoring window this step (diagnostic)
 
 
 def init_particles(ranges0: jnp.ndarray, cfg: SlamConfig, seed: int = 0,
@@ -65,6 +67,7 @@ def init_particles(ranges0: jnp.ndarray, cfg: SlamConfig, seed: int = 0,
         fine=scan_matcher._empty_grid(g.fine_size, g.fine_pixel),
         fine_metric=jnp.zeros((g.fine_size, g.fine_size), jnp.float32),
         rng=jax.random.PRNGKey(seed),
+        clamp_frac=jnp.float32(0.0),
     )
 
 
@@ -110,12 +113,17 @@ def pf_step(state: ParticleState, ranges: jnp.ndarray, cfg: SlamConfig,
         [pc.sigma_xy, pc.sigma_xy, pc.sigma_theta], jnp.float32)
     prop = state.poses + vel + noise
 
-    # --- correlation volume around the predicted mean pose: all particle
-    # scoring collapses to trilinear lookups (cost independent of P).
+    # --- correlation volume(s) around the predicted mean pose: all particle
+    # scoring collapses to trilinear lookups (cost independent of P). With
+    # cascade_levels > 1, coarser volumes (2x, 4x pixels; same bin counts)
+    # catch particles that escape the fine window — the multi-resolution
+    # correlative trick — instead of silently clamping them to its edge.
     base = jnp.mean(prop, axis=0)
-    vol = correlative.build_score_volume(
+    vols = correlative.build_cascade(
         state.fine_metric, state.fine, scan.x, scan.y, scan.valid, base,
-        n_theta=pc.vol_theta_bins, theta_step=mc.fine_r, half=pc.vol_half)
+        n_theta=pc.vol_theta_bins, theta_step=mc.fine_r, half=pc.vol_half,
+        levels=pc.cascade_levels)
+    vol = vols[0]
     # --- gradient-guided proposal refinement (cf. FastSLAM 2.0 / the
     # gradient-guided PF literature): the trilinear volume is differentiable,
     # so each particle descends the interpolated distance field a few capped
@@ -138,7 +146,8 @@ def pf_step(state: ParticleState, ranges: jnp.ndarray, cfg: SlamConfig,
         prop, _ = jax.lax.scan(descend, prop, None,
                                length=pc.grad_refine_steps)
 
-    avg_dist = correlative.lookup_avg_distance(vol, prop)      # (P,)
+    avg_dist, fine_escape = correlative.lookup_cascade(vols, prop)  # (P,)
+    clamp_frac = jnp.mean(fine_escape.astype(jnp.float32))
     new_poses = prop
 
     # --- importance weighting: average EDT distance under the pose -> logw
@@ -165,7 +174,7 @@ def pf_step(state: ParticleState, ranges: jnp.ndarray, cfg: SlamConfig,
 
     def refine(est, _):
         cands = est[None, :] + offs * steps[None, :]
-        d = correlative.lookup_avg_distance(vol, cands)
+        d, _ = correlative.lookup_cascade(vols, cands)
         return cands[jnp.argmin(d)], None
 
     est_pose, _ = jax.lax.scan(refine, est_pose, None, length=3)
@@ -197,7 +206,7 @@ def pf_step(state: ParticleState, ranges: jnp.ndarray, cfg: SlamConfig,
     new_state = ParticleState(
         poses=resampled_poses, prev_poses=prev_for_vel, logw=logw,
         step=state.step + 1, mini_updated=mini_updated, pmap=pmap,
-        fine=fine, fine_metric=fine_metric, rng=key,
+        fine=fine, fine_metric=fine_metric, rng=key, clamp_frac=clamp_frac,
     )
     return new_state, est_pose
 

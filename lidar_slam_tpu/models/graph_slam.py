@@ -46,6 +46,18 @@ class LoopClosureConfig:
     refine_iters: int = 8
 
 
+def _closure_batch() -> int:
+    """Fixed vmap width for closure matching (see _try_loop_closures_batch).
+
+    Wide on TPU, where one batched dispatch amortizes the ~30 ms round trip
+    and Mosaic compiles the width-8 program quickly. Narrow on CPU: XLA:CPU's
+    compile time for the vmapped correlation volume grows pathologically with
+    vmap width (width 8 takes minutes; width 2 seconds), and CPU runs are
+    tests where dispatch latency is negligible anyway.
+    """
+    return 8 if jax.default_backend() == "tpu" else 2
+
+
 class KeyframeStore(NamedTuple):
     x: jnp.ndarray      # (K, N) gated sensor-frame points
     y: jnp.ndarray
@@ -110,16 +122,18 @@ def _match_keyframes(old_x, old_y, old_valid, cur_x, cur_y, cur_valid,
 
 def _match_keyframes_batch(old_x, old_y, old_valid, cur_x, cur_y, cur_valid,
                            guesses, lc: "LoopClosureConfig"):
-    """Vmapped keyframe matching: all closure candidates in ONE dispatch.
+    """Vmapped keyframe matching: all closure candidates of a whole chunk in
+    ONE dispatch (old keyframe AND current scan both batched).
 
     On a remote-attached TPU every dispatch pays a ~30 ms round trip; the
-    per-candidate loop was the dominant cost of the whole graph backend."""
+    per-candidate (round 0) and then per-keyframe (round 1) dispatch loops
+    were the dominant cost of the whole graph backend."""
     fn = functools.partial(
         _match_keyframes, lc_size=lc.raster_size, lc_pixel=lc.raster_pixel,
         n_theta=lc.n_theta, theta_step=lc.theta_step, half=lc.window_half,
         iters=lc.refine_iters)
-    return jax.vmap(fn, in_axes=(0, 0, 0, None, None, None, 0))(
-        old_x, old_y, old_valid, cur_x, cur_y, cur_valid, guesses)
+    return jax.vmap(fn)(old_x, old_y, old_valid, cur_x, cur_y, cur_valid,
+                        guesses)
 
 
 # -- host-side SE(2) helpers (numpy; bookkeeping must not dispatch) -----------
@@ -230,37 +244,64 @@ class GraphSlam:
         self.kf_times.append(scan_t)
         return k
 
-    def _try_loop_closure(self, k: int, scan_x, scan_y, scan_valid):
-        """Search old keyframes near the current pose; add an edge if matched.
-
-        All candidates are matched in one vmapped dispatch."""
+    def _closure_candidates(self, k: int) -> list[int]:
+        """Old keyframes worth matching against keyframe ``k`` (pure host)."""
         lc = self.lc
         if k < lc.min_gap:
-            return None
+            return []
         cur = self.kf_poses[k]
-        old_candidates = [
-            (i, float(np.hypot(*(p[:2] - cur[:2]))))
-            for i, p in enumerate(self.kf_poses[: k - lc.min_gap + 1])
-        ]
-        old_candidates = [c for c in old_candidates if c[1] < lc.max_dist]
-        if not old_candidates:
-            return None
-        old_candidates.sort(key=lambda c: c[1])
-        cand = [i for i, _ in old_candidates[: lc.max_candidates]]
-        b = lc.max_candidates
-        idxs = (cand + [cand[0]] * b)[:b]      # pad by repeating the first
-        guesses = np.stack([_np_between_ref(self.kf_poses[i], cur)
-                            for i in idxs])
-        rels, avg_ds, inliers = _match_keyframes_batch(
-            jnp.asarray(self._kf_x[idxs]), jnp.asarray(self._kf_y[idxs]),
-            jnp.asarray(self._kf_valid[idxs]),
-            scan_x, scan_y, scan_valid, jnp.asarray(guesses), lc)
-        rels = np.asarray(rels)
-        avg_ds = np.asarray(avg_ds)
-        inliers = np.asarray(inliers)
+        old = [(i, float(np.hypot(*(p[:2] - cur[:2]))))
+               for i, p in enumerate(self.kf_poses[: k - lc.min_gap + 1])]
+        old = [c for c in old if c[1] < lc.max_dist]
+        old.sort(key=lambda c: c[1])
+        return [i for i, _ in old[: lc.max_candidates]]
 
-        accepted = None
-        for row, i in enumerate(cand):         # skip padded rows
+    def _try_loop_closures_batch(self, new_kf: list[tuple[int, int]],
+                                 sx_c, sy_c, sv_c) -> bool:
+        """Match every (new keyframe, old candidate) pair of the chunk in ONE
+        vmapped dispatch; accept/reject on host. Returns True if any closure
+        was accepted. ``new_kf`` holds (keyframe index, chunk row) pairs;
+        ``s*_c`` are the chunk's gated scans (host numpy)."""
+        lc = self.lc
+        rows: list[tuple[int, int, np.ndarray]] = []   # (k, chunk_row, i_old)
+        for k, r in new_kf:
+            for i_old in self._closure_candidates(k):
+                rows.append((k, r, i_old))
+        if not rows:
+            return False
+        # ONE fixed batch shape: every distinct vmap width would recompile
+        # the correlation-volume program, and XLA:CPU's compile time for it
+        # is pathological (minutes) — a single bucket size means a single
+        # compile for the whole run. Chunks with more candidate pairs than
+        # the bucket loop over same-shaped dispatches.
+        b = len(rows)
+        bucket = _closure_batch()
+        n_batches = (b + bucket - 1) // bucket
+        padded = rows + [rows[0]] * (n_batches * bucket - b)
+        ks = [k for k, _, _ in padded]
+        crs = [r for _, r, _ in padded]
+        olds = [i for _, _, i in padded]
+        guesses = np.stack([_np_between_ref(self.kf_poses[i], self.kf_poses[k])
+                            for k, _, i in padded])
+        rels_l, avg_l, inl_l = [], [], []
+        for s in range(n_batches):
+            sl = slice(s * bucket, (s + 1) * bucket)
+            o = olds[sl]
+            r3 = _match_keyframes_batch(
+                jnp.asarray(self._kf_x[o]), jnp.asarray(self._kf_y[o]),
+                jnp.asarray(self._kf_valid[o]),
+                jnp.asarray(sx_c[crs[sl]]), jnp.asarray(sy_c[crs[sl]]),
+                jnp.asarray(sv_c[crs[sl]]), jnp.asarray(guesses[sl]), lc)
+            rels_l.append(np.asarray(r3[0]))
+            avg_l.append(np.asarray(r3[1]))
+            inl_l.append(np.asarray(r3[2]))
+        rels = np.concatenate(rels_l)
+        avg_ds = np.concatenate(avg_l)
+        inliers = np.concatenate(inl_l)
+
+        any_accepted = False
+        for row in range(b):                   # skip padded rows
+            i, k = olds[row], ks[row]
             if (avg_ds[row] > lc.accept_avg_dist
                     or inliers[row] < lc.min_inlier_frac):
                 continue
@@ -279,8 +320,8 @@ class GraphSlam:
             self._edges.append((i, k, z_std,
                                 np.asarray([50.0, 50.0, 200.0], np.float32)))
             self.closures.append((i, k))
-            accepted = i
-        return accepted
+            any_accepted = True
+        return any_accepted
 
     def _optimize(self) -> bool:
         """One damped-GN solve over the materialized graph; NaN-revert."""
@@ -385,13 +426,9 @@ class GraphSlam:
             # frontend-specific bookkeeping (e.g. submap-anchor association)
             # before any optimization rewrites kf_poses
             self._post_chunk(state)
-            # pass 2: loop closures, then one optimize for the chunk
-            any_closed = False
-            for k, i in new_kf:
-                closed = self._try_loop_closure(
-                    k, jnp.asarray(sx_c[i]), jnp.asarray(sy_c[i]),
-                    jnp.asarray(sv_c[i]))
-                any_closed |= closed is not None
+            # pass 2: all the chunk's loop-closure candidates in one
+            # dispatch, then at most one optimize for the chunk
+            any_closed = self._try_loop_closures_batch(new_kf, sx_c, sy_c, sv_c)
             if any_closed and optimize_every_closure:
                 optimized = self._optimize()
                 if optimized and feedback:

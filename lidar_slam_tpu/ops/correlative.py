@@ -179,6 +179,90 @@ def build_score_volume(metric: jnp.ndarray, grid: OccGrid,
                        ipixel=ipixel, half=half)
 
 
+def downsample_metric(metric: jnp.ndarray, grid: OccGrid, factor: int
+                      ) -> tuple[jnp.ndarray, OccGrid]:
+    """Min-pool the EDT field by ``factor`` for coarse cascade levels.
+
+    Distances are rescaled into coarse-pixel units (divide by factor); min
+    over the block is the conservative pooling for a distance field (never
+    overestimates how far a pose is from surfaces). The origin shifts by
+    (factor-1)/2 fine pixels so coarse cell centers sit at block centers.
+    """
+    s = metric.shape[0]
+    assert s % factor == 0, (s, factor)
+    m2 = metric.reshape(s // factor, factor, s // factor, factor)
+    m2 = jnp.min(jnp.min(m2, axis=3), axis=1) / factor
+    ceil = lambda v: (v + factor - 1) // factor
+    grid2 = OccGrid(
+        occ=grid.occ[::factor, ::factor],  # unused by scoring; keep shapes sane
+        n_rows=ceil(grid.n_rows), n_cols=ceil(grid.n_cols),
+        origin=grid.origin + 0.5 * (factor - 1) * grid.pixel,
+        pixel=grid.pixel * factor)
+    return m2, grid2
+
+
+def build_cascade(metric: jnp.ndarray, grid: OccGrid,
+                  scan_x: jnp.ndarray, scan_y: jnp.ndarray,
+                  valid: jnp.ndarray, base_pose: jnp.ndarray,
+                  n_theta: int, theta_step: float, half: int,
+                  levels: int) -> list[ScoreVolume]:
+    """Score volumes at pixel scales 1x, 2x, 4x, ... around ``base_pose``.
+
+    Level l covers +-(half * 2^l) fine pixels and +-(n_theta//2 * 2^l) theta
+    steps — the classic multi-resolution correlative trick (Olson 2009): the
+    coarse levels catch particles (or a kidnapped cloud) that escaped the
+    fine window, at a fraction of the fine level's cost (the field shrinks
+    4x per level).
+    """
+    vols = [build_score_volume(metric, grid, scan_x, scan_y, valid, base_pose,
+                               n_theta=n_theta, theta_step=theta_step,
+                               half=half)]
+    for lvl in range(1, levels):
+        f = 2 ** lvl
+        m2, g2 = downsample_metric(metric, grid, f)
+        vols.append(build_score_volume(
+            m2, g2, scan_x, scan_y, valid, base_pose,
+            n_theta=n_theta, theta_step=theta_step * f, half=half))
+    return vols
+
+
+def _window_inside(vol: ScoreVolume, poses: jnp.ndarray) -> jnp.ndarray:
+    """True where a pose lies inside the volume's interpolation window."""
+    t = vol.scores.shape[0]
+    half = vol.half
+    fdx = (poses[..., 0] - vol.base_pose[0]) * vol.ipixel + half
+    fdy = (poses[..., 1] - vol.base_pose[1]) * vol.ipixel + half
+    fdt = (poses[..., 2] - vol.base_pose[2]) / vol.theta_step + t // 2
+    w = 2 * half
+    return ((fdx >= 0) & (fdx <= w) & (fdy >= 0) & (fdy <= w)
+            & (fdt >= 0) & (fdt <= t - 1))
+
+
+def lookup_cascade(vols: list[ScoreVolume], poses: jnp.ndarray
+                   ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Average distance (fine-pixel units) via the finest containing level.
+
+    Returns (dist (...,), fine_escape (...) bool). Poses outside every level
+    clamp to the coarsest volume's edge (the pre-cascade behavior, now only
+    reachable beyond +-half * 2^(L-1) fine pixels). Distances from level l
+    are multiplied by 2^l so scores are comparable across levels.
+    """
+    dist = None
+    chosen = None
+    fine_escape = None
+    for lvl, vol in enumerate(vols):
+        d = lookup_avg_distance(vol, poses) * (2.0 ** lvl)
+        inside = _window_inside(vol, poses)
+        if dist is None:
+            dist, chosen, fine_escape = d, inside, ~inside
+        else:
+            # not-yet-chosen poses provisionally take this level's value
+            # (clamped if outside); the coarsest level's clamp is the floor.
+            dist = jnp.where(chosen, dist, d)
+            chosen = chosen | inside
+    return dist, fine_escape
+
+
 def lookup_avg_distance(vol: ScoreVolume, poses: jnp.ndarray) -> jnp.ndarray:
     """Average field distance for candidate poses (..., 3) via trilinear
     interpolation into the volume. Out-of-window poses clamp to the edge.
