@@ -1,13 +1,28 @@
 """Headline benchmark: particle-filter SLAM throughput on one TPU chip.
 
-Metric (BASELINE.json): scans/sec/chip at 1k particles on the 1000-scan
-museum dataset. Baseline: the reference C pipeline at 3.95 scans/s
-(253.28 s / 1000 scans on a Ryzen 7 6800U, dissertation p.33 §10) — and for
-an apples-to-apples check on *this* host, the clean-room C++ oracle with the
-reference's naive EDT is timed too (printed to stderr, not the JSON line).
+Headline metric (BASELINE.json): scans/sec/chip at 1k particles on the
+1000-scan museum dataset, vs the reference C pipeline's 3.95 scans/s
+(253.28 s / 1000 scans on a Ryzen 7 6800U, dissertation p.33 §10).
 
-Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": "scans/s", "vs_baseline": N}
+Beyond the headline, every number the README/PARITY quote is re-measured
+here so it cannot silently rot (VERDICT r1 "what's missing" #2):
+
+- ``vs_local_oracle``: apples-to-apples baseline — the clean-room C++ oracle
+  with the reference's naive EDT timed on THIS host;
+- ``secondary``: fidelity mode, PF-10240, scan-driven EKF-FastSLAM, graph
+  SLAM with loop closures, and the building-scale hard workload (60x45 m,
+  3800 scans — io/simulate.building_world) with its oracle-parity check;
+- ``kernels``: per-kernel ms / FLOPs / bytes / fraction-of-roofline for the
+  Pallas EDT (vs the reference's 0.4 ms per 400² HLS kernel, dissertation
+  p.46 fig. 14) and the correlation-volume kernel, with a compiled-on-TPU
+  equality check against the jnp oracles (VERDICT r1 #4).
+
+Prints exactly ONE JSON line:
+  {"metric": ..., "value": N, "unit": "scans/s", "vs_baseline": N, ...}
+
+Stages run inside a global deadline (the round driver allows ~590 s); each
+stage is individually fenced so a slow compile degrades the artifact instead
+of zeroing it.
 """
 
 from __future__ import annotations
@@ -20,6 +35,134 @@ import time
 import numpy as np
 
 C_BASELINE_SCANS_PER_SEC = 3.95  # reference: 1000 scans / 253.28 s
+REF_HLS_EDT_MS_400 = 0.4         # dissertation p.46 fig. 14 (400x400)
+
+# TPU v5e (v5 lite) single-chip peaks for the roofline denominator.
+PEAK_F32_FLOPS = 98.3e12   # MXU f32 ~ bf16/2 (197 TFLOP/s bf16)
+PEAK_HBM_BW = 819e9        # bytes/s
+
+_T0 = time.time()
+_DEADLINE = _T0 + 520.0    # leave ~70 s of the driver's 590 s for slack
+
+
+def _left() -> float:
+    return _DEADLINE - time.time()
+
+
+def _log(msg: str) -> None:
+    print(f"[{time.time() - _T0:6.1f}s] {msg}", file=sys.stderr)
+
+
+def _timed_run(runner, label: str, gt, n_scans: int):
+    """Compile+run once, then time a second run. Returns (scans/s, ATE)."""
+    from lidar_slam_tpu.utils.metrics import ate
+
+    t0 = time.time()
+    path, _ = runner()
+    np.asarray(path)
+    _log(f"{label}: compile+first run {time.time() - t0:.1f}s")
+    t0 = time.time()
+    path, _ = runner()
+    path = np.asarray(path)
+    dt = time.time() - t0
+    err = float(ate(path, gt))
+    sps = (n_scans - 1) / dt
+    _log(f"{label}: {sps:.1f} scans/s  ATE {err:.4f} m")
+    return sps, err
+
+
+def _kernel_ms(fn, args, iters: int = 50) -> float:
+    """Per-call ms via lax.scan inside ONE jit (single dispatch — the axon
+    path dedupes repeated identical dispatches and has a ~30 ms floor).
+
+    ``fn(acc, *args)`` must thread the loop-carried f32 scalar ``acc`` into
+    its inputs (value-preservingly) so XLA cannot hoist the kernel out of the
+    scan as loop-invariant, and return an array whose sum feeds ``acc``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def many(*a):
+        def body(acc, _):
+            out = fn(acc, *a)
+            return acc + jnp.sum(out), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return acc
+
+    j = jax.jit(many)
+    j(*args).block_until_ready()          # compile
+    t0 = time.perf_counter()
+    j(*args).block_until_ready()
+    return (time.perf_counter() - t0) * 1e3 / iters
+
+
+def bench_kernels(out: dict) -> None:
+    """Per-kernel ms/FLOPs/bytes/roofline + compiled equality vs jnp oracle."""
+    import jax
+    import jax.numpy as jnp
+
+    from lidar_slam_tpu.ops import correlative, edt
+    from lidar_slam_tpu.utils.profiling import cost_analysis
+
+    on_tpu = jax.default_backend() == "tpu"
+    rng = np.random.default_rng(0)
+    occ = jnp.asarray(rng.random((400, 400)) < 0.02)
+
+    if on_tpu:
+        from lidar_slam_tpu.ops.pallas_edt import edt_clamped_pallas as edt_fn
+    else:
+        edt_fn = edt.edt_clamped
+
+    # compiled-on-device equality vs the brute-force-backed jnp oracle
+    got = np.asarray(jax.jit(edt_fn)(occ))
+    want = np.asarray(jax.jit(edt.edt_clamped)(occ))
+    edt_exact = bool(np.array_equal(got, want))
+
+    # acc >= 0 always, so xor-ing with (acc > 1e30) is the identity — but XLA
+    # cannot prove it, which pins the kernel inside the timing loop
+    ms = _kernel_ms(lambda acc, o: edt_fn(jnp.logical_xor(o, acc > 1e30)),
+                    (occ,))
+    costs = cost_analysis(edt_fn, occ)
+    flops = float(costs.get("flops", 0.0))
+    bytes_ = float(costs.get("bytes accessed", 0.0))
+    sol_s = max(flops / PEAK_F32_FLOPS, bytes_ / PEAK_HBM_BW)
+    out["edt_400"] = {
+        "ms": round(ms, 4), "flops": flops, "bytes": bytes_,
+        "roofline_frac": round(sol_s / (ms * 1e-3), 4) if ms > 0 else None,
+        "exact_vs_oracle": edt_exact,
+        "vs_ref_hls_0.4ms": round(REF_HLS_EDT_MS_400 / ms, 1) if ms > 0 else None,
+    }
+    _log(f"edt_400: {ms:.3f} ms  exact={edt_exact}  "
+         f"(ref HLS 0.4 ms -> {REF_HLS_EDT_MS_400 / ms:.1f}x)")
+
+    # correlation volume on representative PF shapes
+    metric = jax.jit(edt.edt_clamped)(occ)
+    from lidar_slam_tpu.core.gridmap import OccGrid
+
+    grid = OccGrid(occ=occ, n_rows=jnp.int32(400), n_cols=jnp.int32(400),
+                   origin=jnp.zeros(2, jnp.float32), pixel=jnp.float32(0.1))
+    sx = jnp.asarray(rng.uniform(2, 35, 1079), jnp.float32)
+    sy = jnp.asarray(rng.uniform(2, 35, 1079), jnp.float32)
+    sv = jnp.ones(1079, bool)
+    base = jnp.asarray([20.0, 20.0, 0.0], jnp.float32)
+
+    def vol_fn(m, x, y, v, b):
+        return correlative.build_score_volume(
+            m, grid, x, y, v, b, n_theta=7, theta_step=0.0043633, half=6).scores
+
+    ms_v = _kernel_ms(
+        lambda acc, m, x, y, v, b: vol_fn(m + jnp.minimum(acc, 0.0), x, y, v, b),
+        (metric, sx, sy, sv, base))
+    costs = cost_analysis(vol_fn, metric, sx, sy, sv, base)
+    flops = float(costs.get("flops", 0.0))
+    bytes_ = float(costs.get("bytes accessed", 0.0))
+    sol_s = max(flops / PEAK_F32_FLOPS, bytes_ / PEAK_HBM_BW)
+    out["volume_7x13x13"] = {
+        "ms": round(ms_v, 4), "flops": flops, "bytes": bytes_,
+        "roofline_frac": round(sol_s / (ms_v * 1e-3), 4) if ms_v > 0 else None,
+    }
+    _log(f"volume: {ms_v:.3f} ms")
 
 
 def main() -> None:
@@ -30,53 +173,147 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
-    from lidar_slam_tpu.config import DEFAULT_CONFIG, ParticleConfig
-    from lidar_slam_tpu.io import dataset
-    from lidar_slam_tpu.models import fastslam
-    from lidar_slam_tpu.utils.metrics import ate
+    from lidar_slam_tpu import native
+    from lidar_slam_tpu.config import BUILDING_CONFIG, DEFAULT_CONFIG, ParticleConfig
+    from lidar_slam_tpu.io import dataset, simulate
+    from lidar_slam_tpu.models import fastslam, scan_matcher
+    from lidar_slam_tpu.utils.metrics import ate, max_abs_err
 
     n_scans = 1000
-    n_particles = 1024
     ranges, gt, _ = dataset.ensure_dataset(n_scans=n_scans, seed=0)
+    _log(f"devices: {jax.devices()}")
+
+    secondary: dict = {}
+    kernels: dict = {}
+
+    # ---- headline: PF-1024, museum-1000 --------------------------------------
     cfg = dataclasses.replace(
-        DEFAULT_CONFIG, particles=ParticleConfig(n_particles=n_particles))
-
-    print(f"devices: {jax.devices()}", file=sys.stderr)
-
-    def timed(runner, label):
-        t0 = time.time()
-        path, _ = runner()
-        np.asarray(path)
-        print(f"[{label}] compile+first run: {time.time()-t0:.1f}s",
-              file=sys.stderr)
-        t0 = time.time()
-        path, _ = runner()
-        path = np.asarray(path)
-        dt = time.time() - t0
-        err = ate(path, gt)
-        print(f"[{label}] timed run: {dt:.2f}s  ATE: {err:.4f} m",
-              file=sys.stderr)
-        return (n_scans - 1) / dt, err
-
+        DEFAULT_CONFIG, particles=ParticleConfig(n_particles=1024))
     try:
-        scans_per_sec, err = timed(lambda: fastslam.run_pf(ranges, cfg),
-                                   "pf-1024")
-        metric = (f"scans/sec/chip, {n_particles} particles, museum-1000 "
+        sps, err = _timed_run(lambda: fastslam.run_pf(ranges, cfg),
+                              "pf-1024", gt, n_scans)
+        metric = (f"scans/sec/chip, 1024 particles, museum-1000 "
                   f"(ATE {err:.3f} m)")
     except Exception as e:  # compile-helper stalls etc.: report SOMETHING
-        print(f"particle filter bench failed ({e!r}); falling back to "
-              f"fidelity mode", file=sys.stderr)
-        from lidar_slam_tpu.models import scan_matcher
-
-        scans_per_sec, err = timed(
-            lambda: scan_matcher.run_scan(ranges, DEFAULT_CONFIG), "fidelity")
+        _log(f"particle filter bench failed ({e!r}); falling back to fidelity")
+        sps, err = _timed_run(
+            lambda: scan_matcher.run_scan(ranges, DEFAULT_CONFIG),
+            "fidelity", gt, n_scans)
         metric = f"scans/sec/chip, fidelity mode, museum-1000 (ATE {err:.3f} m)"
+
+    # ---- local apples-to-apples baseline: naive-EDT C++ oracle, this host ----
+    vs_local = None
+    try:
+        n_o = 200
+        t0 = time.time()
+        native.run_oracle(ranges[:n_o], use_naive_edt=True)
+        oracle_sps = n_o / (time.time() - t0)
+        secondary["oracle_naive_local"] = {"scans_per_sec": round(oracle_sps, 2)}
+        vs_local = round(sps / oracle_sps, 1)
+        _log(f"local naive-EDT oracle: {oracle_sps:.1f} scans/s")
+    except Exception as e:
+        _log(f"local oracle baseline failed: {e!r}")
+
+    # ---- kernel-level numbers -------------------------------------------------
+    if _left() > 120:
+        try:
+            bench_kernels(kernels)
+        except Exception as e:
+            _log(f"kernel bench failed: {e!r}")
+
+    # ---- secondary configs, in priority order, deadline-fenced ---------------
+    def stage(name, need_s, fn):
+        if _left() < need_s:
+            _log(f"skip {name} (deadline: {_left():.0f}s left)")
+            return
+        try:
+            fn()
+        except Exception as e:
+            _log(f"{name} failed: {e!r}")
+
+    def s_fidelity():
+        f_sps, f_err = _timed_run(
+            lambda: scan_matcher.run_scan(ranges, DEFAULT_CONFIG),
+            "fidelity-museum", gt, n_scans)
+        cpath, _ = native.run_oracle(ranges)
+        jpath, _ = scan_matcher.run_scan(ranges, DEFAULT_CONFIG)
+        secondary["fidelity_museum1000"] = {
+            "scans_per_sec": round(f_sps, 1), "ate": round(f_err, 4),
+            "bit_exact_vs_oracle": bool(
+                max_abs_err(np.asarray(jpath), cpath) == 0.0)}
+
+    def s_building():
+        b_ranges, b_gt, _ = dataset.ensure_dataset(
+            n_scans=simulate.BUILDING_N_SCANS, world="building")
+        n_b = b_ranges.shape[0]
+        f_sps, f_err = _timed_run(
+            lambda: scan_matcher.run_scan(b_ranges, BUILDING_CONFIG),
+            "fidelity-building", b_gt, n_b)
+        cpath, _ = native.run_oracle_cfg(b_ranges, BUILDING_CONFIG)
+        jpath, _ = scan_matcher.run_scan(b_ranges, BUILDING_CONFIG)
+        secondary["fidelity_building3800"] = {
+            "scans_per_sec": round(f_sps, 1), "ate": round(f_err, 4),
+            "bit_exact_vs_oracle": bool(
+                max_abs_err(np.asarray(jpath), cpath) == 0.0)}
+        bcfg = dataclasses.replace(
+            BUILDING_CONFIG, particles=ParticleConfig(n_particles=1024))
+        p_sps, p_err = _timed_run(
+            lambda: fastslam.run_pf(b_ranges, bcfg), "pf1024-building",
+            b_gt, n_b)
+        secondary["pf1024_building3800"] = {
+            "scans_per_sec": round(p_sps, 1), "ate": round(p_err, 4)}
+
+    def s_pf10240():
+        big = dataclasses.replace(
+            DEFAULT_CONFIG, particles=ParticleConfig(n_particles=10240))
+        p_sps, p_err = _timed_run(lambda: fastslam.run_pf(ranges, big),
+                                  "pf-10240", gt, n_scans)
+        secondary["pf10240_museum1000"] = {
+            "scans_per_sec": round(p_sps, 1), "ate": round(p_err, 4)}
+
+    def s_ekf():
+        from lidar_slam_tpu.models import ekf_slam
+
+        ecfg = ekf_slam.EkfSlamConfig(
+            n_particles=512, max_landmarks=48, r_noise=0.05, b_noise=0.008,
+            odo_xy_noise=0.008, odo_th_noise=0.003, new_lm_logp0=-6.0)
+        e_sps, e_err = _timed_run(
+            lambda: ekf_slam.run_ekf_slam_scan(
+                ranges, ecfg, lidar_cfg=DEFAULT_CONFIG.lidar, seed=0),
+            "ekf-512", gt, n_scans)
+        secondary["ekf512_museum1000"] = {
+            "scans_per_sec": round(e_sps, 1), "ate": round(e_err, 4)}
+
+    def s_graph():
+        from lidar_slam_tpu.models.graph_slam import GraphSlam
+
+        g_ranges, g_gt = simulate.generate_dataset(
+            n_scans=700, seed=0, waypoints=simulate.LOOP_WAYPOINTS)
+        gs = GraphSlam(DEFAULT_CONFIG)
+        t0 = time.time()
+        path, _ = gs.run(g_ranges)
+        dt = time.time() - t0
+        secondary["graph_700loop"] = {
+            "scans_per_sec": round(699 / dt, 1),
+            "ate": round(float(ate(np.asarray(path), g_gt)), 4),
+            "closures": len(gs.closures)}
+        _log(f"graph-700: {699 / dt:.1f} scans/s wall, "
+             f"{len(gs.closures)} closures")
+
+    stage("fidelity", 90, s_fidelity)
+    stage("building", 150, s_building)
+    stage("ekf", 80, s_ekf)
+    stage("graph", 80, s_graph)
+    stage("pf10240", 60, s_pf10240)
 
     print(json.dumps({
         "metric": metric,
-        "value": round(scans_per_sec, 2),
+        "value": round(sps, 2),
         "unit": "scans/s",
-        "vs_baseline": round(scans_per_sec / C_BASELINE_SCANS_PER_SEC, 2),
+        "vs_baseline": round(sps / C_BASELINE_SCANS_PER_SEC, 2),
+        "vs_local_oracle": vs_local,
+        "kernels": kernels,
+        "secondary": secondary,
     }))
 
 

@@ -49,9 +49,16 @@ def shard_particle_state(state, mesh: Mesh):
     rep = replicated(mesh)
 
     def place(path, leaf):
+        import numpy as np
+
+        # make_array_from_callback instead of device_put: it is the
+        # multi-process placement API (each process contributes its
+        # addressable shards; no cross-process value check — device_put's
+        # assert_equal mishandles 0-d leaves like a grid's pixel size).
+        leaf = np.asarray(leaf)
         name = path[0].name if path else ""
-        if name in ("poses", "prev_poses", "logw"):
-            return jax.device_put(leaf, ps)
-        return jax.device_put(leaf, rep)
+        sh = ps if name in ("poses", "prev_poses", "logw") else rep
+        return jax.make_array_from_callback(
+            leaf.shape, sh, lambda idx, l=leaf: l[idx])
 
     return jax.tree_util.tree_map_with_path(place, state)

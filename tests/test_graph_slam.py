@@ -1,6 +1,7 @@
 """Graph-SLAM integration: loop-closure detection + optimization on a loop."""
 
 import numpy as np
+import pytest
 
 from lidar_slam_tpu.config import DEFAULT_CONFIG
 from lidar_slam_tpu.io import simulate
@@ -8,6 +9,9 @@ from lidar_slam_tpu.models import posegraph
 from lidar_slam_tpu.models.graph_slam import GraphSlam
 from lidar_slam_tpu.utils.metrics import ate
 
+
+
+pytestmark = pytest.mark.slow  # multi-minute integration runs; quick tier: -m "not slow"
 
 def test_graph_slam_closes_loops_on_loop_trajectory():
     ranges, gt = simulate.generate_dataset(

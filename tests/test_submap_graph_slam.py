@@ -3,6 +3,7 @@
 import dataclasses
 
 import numpy as np
+import pytest
 
 from lidar_slam_tpu.config import DEFAULT_CONFIG, SubmapConfig
 from lidar_slam_tpu.io import simulate
@@ -10,6 +11,9 @@ from lidar_slam_tpu.models import posegraph
 from lidar_slam_tpu.models.submap_graph_slam import SubmapGraphSlam
 from lidar_slam_tpu.utils.metrics import ate
 
+
+
+pytestmark = pytest.mark.slow  # multi-minute integration runs; quick tier: -m "not slow"
 
 def _cfg():
     return dataclasses.replace(
