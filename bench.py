@@ -274,14 +274,20 @@ def main() -> None:
     def s_ekf():
         from lidar_slam_tpu.models import ekf_slam
 
+        # long-tour config: range-scaled measurement noise + wide proposal +
+        # late resampling keep the sparse-landmark filter bounded (~1 m over
+        # the full 1000-scan tour incl. a landmark-poor room transition; the
+        # landmark-rich envelope is pinned < 0.1 m at 400 scans in tests)
         ecfg = ekf_slam.EkfSlamConfig(
-            n_particles=512, max_landmarks=48, r_noise=0.05, b_noise=0.008,
-            odo_xy_noise=0.008, odo_th_noise=0.003, new_lm_logp0=-6.0)
+            n_particles=1024, max_landmarks=64, r_noise=0.02,
+            r_noise_per_m=0.015, b_noise=0.008, odo_xy_noise=0.012,
+            odo_th_noise=0.02, new_lm_logp0=-11.0, resample_threshold=0.25)
         e_sps, e_err = _timed_run(
             lambda: ekf_slam.run_ekf_slam_scan(
-                ranges, ecfg, lidar_cfg=DEFAULT_CONFIG.lidar, seed=0),
-            "ekf-512", gt, n_scans)
-        secondary["ekf512_museum1000"] = {
+                ranges, ecfg, lidar_cfg=DEFAULT_CONFIG.lidar, seed=0,
+                max_range=12.0),
+            "ekf-1024", gt, n_scans)
+        secondary["ekf1024_museum1000"] = {
             "scans_per_sec": round(e_sps, 1), "ate": round(e_err, 4)}
 
     def s_graph():

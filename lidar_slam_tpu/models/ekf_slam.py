@@ -41,6 +41,14 @@ class EkfSlamConfig(NamedTuple):
     new_lm_logp0: float = -7.0   # log pseudo-likelihood of a new landmark:
     #                              a detection whose best per-particle match
     #                              scores below this initializes a new slot
+    r_noise_per_m: float = 0.0   # range-proportional measurement std growth:
+    #                              a corner intersection is fitted from ~k
+    #                              beams whose spacing grows linearly with
+    #                              range, so its position error does too.
+    #                              Constant noise makes far detections
+    #                              overconfident AND gates true far
+    #                              re-observations out as "new" landmarks,
+    #                              flooding the bank with shifted duplicates.
 
 
 class EkfSlamState(NamedTuple):
@@ -192,7 +200,8 @@ def _landmark_likelihoods(state: EkfSlamState, poses: jnp.ndarray,
     dy = state.lm_mean[..., 1] - py
     r2 = jnp.maximum(dx * dx + dy * dy, 1e-6)
     r = jnp.sqrt(r2)
-    r_noise2 = jnp.float32(cfg.r_noise ** 2)
+    r_sig = jnp.float32(cfg.r_noise) + jnp.float32(cfg.r_noise_per_m) * zr
+    r_noise2 = r_sig * r_sig
     b_noise2 = jnp.float32(cfg.b_noise ** 2)
 
     nu_r = zr - r                                                # (P, L)
@@ -222,8 +231,10 @@ def _landmark_likelihoods(state: EkfSlamState, poses: jnp.ndarray,
         jnp.stack([j_cos, -zr * j_sin], -1),
         jnp.stack([j_sin, zr * j_cos], -1),
     ], axis=-2)                                                  # (P, 2, 2)
-    meas_cov = jnp.asarray([[cfg.r_noise ** 2, 0.0],
-                            [0.0, cfg.b_noise ** 2]], jnp.float32)
+    meas_cov = jnp.stack([
+        jnp.stack([r_noise2, jnp.float32(0.0)]),
+        jnp.stack([jnp.float32(0.0), b_noise2]),
+    ])                                                           # (2, 2)
     init_cov = jac @ meas_cov @ jnp.swapaxes(jac, -1, -2)        # (P, 2, 2)
     return loglik, upd_mean, upd_cov, init_mean, init_cov
 
@@ -261,12 +272,13 @@ def ekf_slam_step_ml(state: EkfSlamState, obs: jnp.ndarray, obs_valid: jnp.ndarr
     # alone caps accuracy at the random-walk level; one batched 3x3 solve per
     # particle pulls each particle onto its own observation manifold before
     # weighting. All (P,) math: P tiny linear systems solved in closed form.
-    r_w = jnp.float32(1.0 / cfg.r_noise ** 2)
     b_w = jnp.float32(1.0 / cfg.b_noise ** 2)
 
     def gn_accumulate(carry, det):
         hth, htn, poses = carry                # (P, 3, 3), (P, 3), (P, 3)
         zr, zb, dval = det[0], det[1], det[2] > 0.5
+        r_sig = jnp.float32(cfg.r_noise) + jnp.float32(cfg.r_noise_per_m) * zr
+        r_w = 1.0 / (r_sig * r_sig)            # range-scaled, like the EKF
         px, py, pth = poses[:, 0:1], poses[:, 1:2], poses[:, 2:3]
         dx = state.lm_mean[..., 0] - px        # (P, L)
         dy = state.lm_mean[..., 1] - py
@@ -323,20 +335,29 @@ def ekf_slam_step_ml(state: EkfSlamState, obs: jnp.ndarray, obs_valid: jnp.ndarr
         best_ll = jnp.max(loglik, axis=1)
         first_free = jnp.argmin(seen, axis=1)                    # first False
         full = jnp.all(seen, axis=1)
-        make_new = (best_ll < log_p0) & ~full                    # (P,)
-        drop = (best_ll < log_p0) & full                         # bank full
-        slot = jnp.where(make_new, first_free, best)             # (P,)
+        # Bank full: evict the most-uncertain slot (largest covariance trace)
+        # instead of dropping the detection. Spurious spawns carry a large
+        # init covariance (especially at range) and never converge, so junk
+        # evicts junk while established landmarks are untouchable — without
+        # this the bank saturates with shifted duplicates and the gate then
+        # forces every true re-observation to be dropped (observed: steady
+        # drift from scan ~300 on museum-1000 once all slots filled).
+        cov_tr = lm_cov[..., 0, 0] + lm_cov[..., 1, 1]           # (P, L)
+        evict = jnp.argmax(cov_tr, axis=1)                       # (P,)
+        spawn_slot = jnp.where(full, evict, first_free)
+        make_new = best_ll < log_p0                              # (P,)
+        slot = jnp.where(make_new, spawn_slot, best)             # (P,)
         sel = slot[:, None] == jnp.arange(l)[None, :]            # (P, L)
-        act = (dval & ~drop)[:, None]                            # (P, 1)
-        upd_sel = (sel & ~make_new[:, None] & act)[..., None]    # (P, L, 1)
-        new_sel = (sel & make_new[:, None] & act)[..., None]
+        act = dval & jnp.ones_like(make_new)                     # (P,)
+        upd_sel = (sel & ~make_new[:, None] & act[:, None])[..., None]
+        new_sel = (sel & make_new[:, None] & act[:, None])[..., None]
         lm_mean = jnp.where(upd_sel, upd_mean,
                             jnp.where(new_sel, init_mean[:, None, :], lm_mean))
         lm_cov = jnp.where(upd_sel[..., None], upd_cov,
                            jnp.where(new_sel[..., None],
                                      init_cov[:, None, :, :], lm_cov))
-        seen = seen | (sel & act)
-        contrib = jnp.where(make_new | drop, log_p0, best_ll)
+        seen = seen | (sel & act[:, None])
+        contrib = jnp.where(make_new, log_p0, best_ll)
         logw_add = logw_add + jnp.where(dval, contrib, 0.0)
         return (lm_mean, lm_cov, seen, logw_add), None
 
