@@ -71,30 +71,56 @@ def _timed_run(runner, label: str, gt, n_scans: int):
     return sps, err
 
 
-def _kernel_ms(fn, args, iters: int = 50) -> float:
-    """Per-call ms via lax.scan inside ONE jit (single dispatch — the axon
-    path dedupes repeated identical dispatches and has a ~30 ms floor).
+def _kernel_ms(fn, make_args, l1: int = 64, l2: int = 4096,
+               reps: int = 3) -> float:
+    """Per-call ms as the SLOPE of a chained lax.scan between two lengths.
+
+    Three defenses against the axon tunnel (all measured, round 3):
+    (a) ``block_until_ready`` does not actually block on this backend —
+        force a host fetch (``float(...)``) instead;
+    (b) every dispatch carries a large, noisy constant round-trip (~30-100
+        ms), so total/iters is meaningless — time two scan lengths and take
+        the slope;
+    (c) a repeated identical (program, inputs) dispatch can dedupe or hang —
+        ``make_args(k)`` must return FRESH inputs for every call.
 
     ``fn(acc, *args)`` must thread the loop-carried f32 scalar ``acc`` into
     its inputs (value-preservingly) so XLA cannot hoist the kernel out of the
     scan as loop-invariant, and return an array whose sum feeds ``acc``.
     """
+    import statistics
+
     import jax
     import jax.numpy as jnp
 
-    def many(*a):
-        def body(acc, _):
-            out = fn(acc, *a)
-            return acc + jnp.sum(out), None
+    def make(length):
+        def many(*a):
+            def body(acc, _):
+                out = fn(acc, *a)
+                return acc + jnp.sum(out), None
 
-        acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
-        return acc
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=length)
+            return acc
 
-    j = jax.jit(many)
-    j(*args).block_until_ready()          # compile
-    t0 = time.perf_counter()
-    j(*args).block_until_ready()
-    return (time.perf_counter() - t0) * 1e3 / iters
+        return jax.jit(many)
+
+    j1, j2 = make(l1), make(l2)
+    k = 0
+    float(j1(*make_args(k)))  # compile
+    float(j2(*make_args(k + 1)))
+    k += 2
+    t1s, t2s = [], []
+    for _ in range(reps):
+        a1, a2 = make_args(k), make_args(k + 1)
+        k += 2
+        t0 = time.perf_counter()
+        float(j1(*a1))
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(j2(*a2))
+        t2s.append(time.perf_counter() - t0)
+    slope = (statistics.median(t2s) - statistics.median(t1s)) / (l2 - l1)
+    return max(slope * 1e3, 0.0)
 
 
 def bench_kernels(out: dict) -> None:
@@ -122,7 +148,9 @@ def bench_kernels(out: dict) -> None:
     # acc >= 0 always, so xor-ing with (acc > 1e30) is the identity — but XLA
     # cannot prove it, which pins the kernel inside the timing loop
     ms = _kernel_ms(lambda acc, o: edt_fn(jnp.logical_xor(o, acc > 1e30)),
-                    (occ,))
+                    lambda k: (jnp.asarray(
+                        np.random.default_rng(100 + k).random((400, 400))
+                        < 0.02),))
     costs = cost_analysis(edt_fn, occ)
     flops = float(costs.get("flops", 0.0))
     bytes_ = float(costs.get("bytes accessed", 0.0))
@@ -151,9 +179,16 @@ def bench_kernels(out: dict) -> None:
         return correlative.build_score_volume(
             m, grid, x, y, v, b, n_theta=7, theta_step=0.0043633, half=6).scores
 
+    def vol_args(k):
+        r = np.random.default_rng(200 + k)
+        return (metric,
+                jnp.asarray(r.uniform(2, 35, 1079), jnp.float32),
+                jnp.asarray(r.uniform(2, 35, 1079), jnp.float32),
+                sv, base)
+
     ms_v = _kernel_ms(
         lambda acc, m, x, y, v, b: vol_fn(m + jnp.minimum(acc, 0.0), x, y, v, b),
-        (metric, sx, sy, sv, base))
+        vol_args, l2=2048)
     costs = cost_analysis(vol_fn, metric, sx, sy, sv, base)
     flops = float(costs.get("flops", 0.0))
     bytes_ = float(costs.get("bytes accessed", 0.0))
