@@ -20,6 +20,16 @@ here so it cannot silently rot (VERDICT r1 "what's missing" #2):
 Prints exactly ONE JSON line:
   {"metric": ..., "value": N, "unit": "scans/s", "vs_baseline": N, ...}
 
+Measurement methodology (round 3; the round-1/2 numbers were poisoned by
+the remote-attached "axon" TPU path and are NOT comparable):
+- ``block_until_ready`` does not block on this backend — every timing
+  forces a host fetch;
+- a repeated identical (program, inputs) dispatch can be served from cache
+  or hang — every timed dispatch perturbs its inputs;
+- each dispatch carries a ~140 ms round-trip/transfer floor — model runs
+  subtract a measured trivial-program floor and report the median of 3
+  runs; kernels use the slope of a chained lax.scan between two lengths.
+
 Stages run inside a global deadline (the round driver allows ~590 s); each
 stage is individually fenced so a slow compile degrades the artifact instead
 of zeroing it.
@@ -53,21 +63,62 @@ def _log(msg: str) -> None:
     print(f"[{time.time() - _T0:6.1f}s] {msg}", file=sys.stderr)
 
 
-def _timed_run(runner, label: str, gt, n_scans: int):
-    """Compile+run once, then time a second run. Returns (scans/s, ATE)."""
+_FLOORS: dict = {}
+
+
+def _dispatch_floor(ranges: np.ndarray) -> float:
+    """Round-trip + transfer floor (s) for a dispatch carrying ``ranges``.
+
+    Measured as the median of trivial jitted reductions over perturbed copies
+    (identical dispatches can dedupe/hang on the axon tunnel). Cached per
+    input shape."""
+    import statistics
+
+    import jax
+    import jax.numpy as jnp
+
+    key = ranges.shape
+    if key in _FLOORS:
+        return _FLOORS[key]
+    triv = jax.jit(lambda r: jnp.sum(r) * jnp.float32(1e-9))
+    float(triv(jnp.asarray(ranges)))  # compile
+    ts = []
+    for k in range(5):
+        r = jnp.asarray(ranges + np.float32(1e-6 * (k + 1)))
+        t0 = time.perf_counter()
+        float(triv(r))
+        ts.append(time.perf_counter() - t0)
+    _FLOORS[key] = statistics.median(ts)
+    _log(f"dispatch floor {key}: {_FLOORS[key] * 1e3:.0f} ms")
+    return _FLOORS[key]
+
+
+def _timed_run(runner, label: str, gt, n_scans: int, floor_s: float = 0.0,
+               reps: int = 3):
+    """Compile+run once, then report the median of ``reps`` timed runs with
+    the dispatch/transfer floor subtracted. Returns (scans/s, ATE).
+
+    ``runner(eps)`` must thread ``eps`` into its device inputs (e.g.
+    ``ranges + eps``) so every timed dispatch is distinct — on the axon
+    tunnel a repeated identical (program, inputs) dispatch can be served
+    from cache or hang, which silently inflated the round-1/2 numbers."""
+    import statistics
+
     from lidar_slam_tpu.utils.metrics import ate
 
     t0 = time.time()
-    path, _ = runner()
-    np.asarray(path)
+    path = np.asarray(runner(0.0)[0])
     _log(f"{label}: compile+first run {time.time() - t0:.1f}s")
-    t0 = time.time()
-    path, _ = runner()
-    path = np.asarray(path)
-    dt = time.time() - t0
+    ts = []
+    for k in range(reps):
+        t0 = time.perf_counter()
+        path = np.asarray(runner(np.float32(1e-5 * (k + 1)))[0])
+        ts.append(time.perf_counter() - t0)
+    dev = max(statistics.median(ts) - floor_s, 1e-9)
     err = float(ate(path, gt))
-    sps = (n_scans - 1) / dt
-    _log(f"{label}: {sps:.1f} scans/s  ATE {err:.4f} m")
+    sps = (n_scans - 1) / dev
+    _log(f"{label}: {sps:.1f} scans/s (device {dev:.3f}s, floor "
+         f"{floor_s * 1e3:.0f} ms)  ATE {err:.4f} m")
     return sps, err
 
 
@@ -222,18 +273,19 @@ def main() -> None:
     kernels: dict = {}
 
     # ---- headline: PF-1024, museum-1000 --------------------------------------
+    floor = _dispatch_floor(ranges)
     cfg = dataclasses.replace(
         DEFAULT_CONFIG, particles=ParticleConfig(n_particles=1024))
     try:
-        sps, err = _timed_run(lambda: fastslam.run_pf(ranges, cfg),
-                              "pf-1024", gt, n_scans)
+        sps, err = _timed_run(lambda eps: fastslam.run_pf(ranges + eps, cfg),
+                              "pf-1024", gt, n_scans, floor)
         metric = (f"scans/sec/chip, 1024 particles, museum-1000 "
                   f"(ATE {err:.3f} m)")
     except Exception as e:  # compile-helper stalls etc.: report SOMETHING
         _log(f"particle filter bench failed ({e!r}); falling back to fidelity")
         sps, err = _timed_run(
-            lambda: scan_matcher.run_scan(ranges, DEFAULT_CONFIG),
-            "fidelity", gt, n_scans)
+            lambda eps: scan_matcher.run_scan(ranges + eps, DEFAULT_CONFIG),
+            "fidelity", gt, n_scans, floor)
         metric = f"scans/sec/chip, fidelity mode, museum-1000 (ATE {err:.3f} m)"
 
     # ---- local apples-to-apples baseline: naive-EDT C++ oracle, this host ----
@@ -268,8 +320,8 @@ def main() -> None:
 
     def s_fidelity():
         f_sps, f_err = _timed_run(
-            lambda: scan_matcher.run_scan(ranges, DEFAULT_CONFIG),
-            "fidelity-museum", gt, n_scans)
+            lambda eps: scan_matcher.run_scan(ranges + eps, DEFAULT_CONFIG),
+            "fidelity-museum", gt, n_scans, floor)
         cpath, _ = native.run_oracle(ranges)
         jpath, _ = scan_matcher.run_scan(ranges, DEFAULT_CONFIG)
         secondary["fidelity_museum1000"] = {
@@ -281,9 +333,10 @@ def main() -> None:
         b_ranges, b_gt, _ = dataset.ensure_dataset(
             n_scans=simulate.BUILDING_N_SCANS, world="building")
         n_b = b_ranges.shape[0]
+        b_floor = _dispatch_floor(b_ranges)
         f_sps, f_err = _timed_run(
-            lambda: scan_matcher.run_scan(b_ranges, BUILDING_CONFIG),
-            "fidelity-building", b_gt, n_b)
+            lambda eps: scan_matcher.run_scan(b_ranges + eps, BUILDING_CONFIG),
+            "fidelity-building", b_gt, n_b, b_floor)
         cpath, _ = native.run_oracle_cfg(b_ranges, BUILDING_CONFIG)
         jpath, _ = scan_matcher.run_scan(b_ranges, BUILDING_CONFIG)
         secondary["fidelity_building3800"] = {
@@ -291,18 +344,19 @@ def main() -> None:
             "bit_exact_vs_oracle": bool(
                 max_abs_err(np.asarray(jpath), cpath) == 0.0)}
         bcfg = dataclasses.replace(
-            BUILDING_CONFIG, particles=ParticleConfig(n_particles=1024))
+            BUILDING_CONFIG, particles=dataclasses.replace(
+                BUILDING_CONFIG.particles, n_particles=1024))
         p_sps, p_err = _timed_run(
-            lambda: fastslam.run_pf(b_ranges, bcfg), "pf1024-building",
-            b_gt, n_b)
+            lambda eps: fastslam.run_pf(b_ranges + eps, bcfg),
+            "pf1024-building", b_gt, n_b, b_floor)
         secondary["pf1024_building3800"] = {
             "scans_per_sec": round(p_sps, 1), "ate": round(p_err, 4)}
 
     def s_pf10240():
         big = dataclasses.replace(
             DEFAULT_CONFIG, particles=ParticleConfig(n_particles=10240))
-        p_sps, p_err = _timed_run(lambda: fastslam.run_pf(ranges, big),
-                                  "pf-10240", gt, n_scans)
+        p_sps, p_err = _timed_run(lambda eps: fastslam.run_pf(ranges + eps, big),
+                                  "pf-10240", gt, n_scans, floor)
         secondary["pf10240_museum1000"] = {
             "scans_per_sec": round(p_sps, 1), "ate": round(p_err, 4)}
 
@@ -318,10 +372,10 @@ def main() -> None:
             r_noise_per_m=0.015, b_noise=0.008, odo_xy_noise=0.012,
             odo_th_noise=0.02, new_lm_logp0=-11.0, resample_threshold=0.25)
         e_sps, e_err = _timed_run(
-            lambda: ekf_slam.run_ekf_slam_scan(
-                ranges, ecfg, lidar_cfg=DEFAULT_CONFIG.lidar, seed=0,
+            lambda eps: ekf_slam.run_ekf_slam_scan(
+                ranges + eps, ecfg, lidar_cfg=DEFAULT_CONFIG.lidar, seed=0,
                 max_range=12.0),
-            "ekf-1024", gt, n_scans)
+            "ekf-1024", gt, n_scans, floor)
         secondary["ekf1024_museum1000"] = {
             "scans_per_sec": round(e_sps, 1), "ate": round(e_err, 4)}
 
@@ -332,7 +386,11 @@ def main() -> None:
             n_scans=700, seed=0, waypoints=simulate.LOOP_WAYPOINTS)
         gs = GraphSlam(DEFAULT_CONFIG)
         t0 = time.time()
-        path, _ = gs.run(g_ranges)
+        gs.run(g_ranges)                      # warm (compiles)
+        _log(f"graph-700: warm run {time.time() - t0:.1f}s")
+        gs = GraphSlam(DEFAULT_CONFIG)
+        t0 = time.time()
+        path, _ = gs.run(g_ranges + np.float32(1e-5))
         dt = time.time() - t0
         secondary["graph_700loop"] = {
             "scans_per_sec": round(699 / dt, 1),
@@ -341,11 +399,54 @@ def main() -> None:
         _log(f"graph-700: {699 / dt:.1f} scans/s wall, "
              f"{len(gs.closures)} closures")
 
+    def s_scaling():
+        """Shard-count sweep of the sharded PF step (BASELINE config 4).
+
+        Real multi-chip hardware is unavailable in this container (one v5e
+        chip behind a tunnel), so the sweep runs on an 8-virtual-device CPU
+        mesh in a subprocess: it validates that the pjit/shard_map program
+        compiles AND executes at 1/2/4/8 particle shards. Labeled as
+        program validation — the real single-chip scans/s is the headline;
+        ICI scaling efficiency needs a real slice."""
+        import os
+        import subprocess
+
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)  # must not claim the TPU
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                            + " --xla_force_host_platform_device_count=8")
+        code = (
+            "import json\n"
+            "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+            "from lidar_slam_tpu.io import dataset\n"
+            "from lidar_slam_tpu.parallel import multihost\n"
+            "r, _, _ = dataset.ensure_dataset(n_scans=40, seed=0)\n"
+            "rep = multihost.scaling_report(r, n_particles=512,\n"
+            "    shard_counts=(1, 2, 4, 8), n_scans=24)\n"
+            "print('SCALING=' + json.dumps({str(k): round(v, 2)\n"
+            "    for k, v in rep.items()}))\n")
+        out = subprocess.run(["python", "-c", code], env=env, cwd="/root/repo",
+                             capture_output=True, text=True, timeout=_left())
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("SCALING=")]
+        if not line:
+            raise RuntimeError(f"scaling subprocess failed: {out.stderr[-500:]}")
+        rep = json.loads(line[0][len("SCALING="):])
+        secondary["scaling_virtual_mesh"] = {
+            "note": "8-virtual-device CPU mesh program validation, "
+                    "scans/s per shard count (not ICI scaling)",
+            "scans_per_sec": rep}
+        _log(f"scaling (virtual mesh): {rep}")
+
+    # Cheap required BASELINE configs first; the expensive graph backend
+    # runs last so a slow compile degrades optional entries, not required
+    # ones (round-2 lost pf10240 to the graph stage's 270 s).
     stage("fidelity", 90, s_fidelity)
+    stage("pf10240", 60, s_pf10240)
     stage("building", 150, s_building)
     stage("ekf", 80, s_ekf)
+    stage("scaling", 70, s_scaling)
     stage("graph", 80, s_graph)
-    stage("pf10240", 60, s_pf10240)
 
     print(json.dumps({
         "metric": metric,

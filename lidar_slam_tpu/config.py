@@ -84,9 +84,13 @@ class ParticleConfig:
     # multi-resolution cascade (ops/correlative.build_cascade): level l adds a
     # volume at 2^l x pixel/theta scale, so particles escaping the fine
     # +-0.6 m window are scored (not edge-clamped) out to +-0.6*2^(l) m.
-    # 1 = fine volume only (round-1 behavior). The escape fraction is
-    # exposed as ParticleState.clamp_frac.
-    cascade_levels: int = 2
+    # The escape fraction is exposed as ParticleState.clamp_frac.
+    # Default 1 (fine volume only): on the museum workload the extra level
+    # costs ~44% throughput (5081 -> 2839 scans/s) AND doubles ATE (0.043 ->
+    # 0.090 m — the coarse level's min-pooled field flattens the weighting),
+    # so the cascade is opt-in for escape/kidnap regimes: BUILDING_CONFIG
+    # uses 2, the kidnap-recovery test uses 3.
+    cascade_levels: int = 1
     # gradient-guided proposal refinement (FastSLAM-2.0-style): descend the
     # interpolated distance field before weighting; 0 disables
     grad_refine_steps: int = 0
@@ -149,4 +153,5 @@ DEFAULT_CONFIG = SlamConfig()
 BUILDING_CONFIG = SlamConfig(
     grid=GridConfig(coarse_size=256, fine_size=512),
     map=MapConfig(map_capacity=40000, local_map_capacity=40000),
+    particles=ParticleConfig(cascade_levels=2),
 )

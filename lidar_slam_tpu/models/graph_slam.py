@@ -49,11 +49,14 @@ class LoopClosureConfig:
 def _closure_batch() -> int:
     """Fixed vmap width for closure matching (see _try_loop_closures_batch).
 
-    Wide on TPU, where one batched dispatch amortizes the ~30 ms round trip
-    and Mosaic compiles the width-8 program quickly. Narrow on CPU: XLA:CPU's
-    compile time for the vmapped correlation volume grows pathologically with
-    vmap width (width 8 takes minutes; width 2 seconds), and CPU runs are
-    tests where dispatch latency is negligible anyway.
+    Wide on TPU, where one batched dispatch amortizes the ~80-140 ms tunnel
+    round trip (the dominant cost of the whole backend — round 3 profiling
+    put ~85% of graph wall time in result fetches) and Mosaic compiles the
+    width-8 program quickly (width >= 12 exceeds the correlation kernel's
+    VMEM budget). Narrow on CPU: XLA:CPU's compile time for the vmapped
+    correlation volume grows pathologically with vmap width (width 8 takes
+    minutes; width 2 seconds), and CPU runs are tests where dispatch latency
+    is negligible anyway.
     """
     return 8 if jax.default_backend() == "tpu" else 2
 
@@ -77,16 +80,24 @@ def _raster_edt(x, y, valid, size: int, pixel: float):
     return edt_ops.edt(occ, 10)
 
 
+@functools.partial(jax.jit, static_argnames=("size",))
+def _raster_edt_batch(x, y, valid, size: int, pixel: float):
+    """Vmapped ``_raster_edt`` — one dispatch rasterizes a whole bucket of
+    keyframes (each EDT field is computed ONCE per keyframe and cached on
+    host; round 2 recomputed it inside every closure attempt)."""
+    return jax.vmap(lambda a, b, c: _raster_edt(a, b, c, size, pixel))(
+        x, y, valid)
+
+
 @functools.partial(jax.jit, static_argnames=("lc_size", "lc_pixel", "n_theta",
                                              "theta_step", "half", "iters"))
-def _match_keyframes(old_x, old_y, old_valid, cur_x, cur_y, cur_valid,
+def _match_keyframes(metric, cur_x, cur_y, cur_valid,
                      guess_rel, lc_size: int, lc_pixel: float, n_theta: int,
                      theta_step: float, half: int, iters: int):
-    """Match current scan against an old keyframe's raster.
+    """Match current scan against an old keyframe's cached EDT raster.
 
     Returns (rel_pose (3,), avg_dist (), inlier_frac ()). ``guess_rel`` and
     the result use the reference convention in the old keyframe's frame."""
-    metric = _raster_edt(old_x, old_y, old_valid, lc_size, lc_pixel)
     halfm = lc_size // 2 * lc_pixel
     grid = OccGrid(occ=jnp.zeros((lc_size, lc_size), jnp.bool_),
                    n_rows=jnp.int32(lc_size), n_cols=jnp.int32(lc_size),
@@ -120,10 +131,10 @@ def _match_keyframes(old_x, old_y, old_valid, cur_x, cur_y, cur_valid,
 
 
 
-def _match_keyframes_batch(old_x, old_y, old_valid, cur_x, cur_y, cur_valid,
+def _match_keyframes_batch(old_metric, cur_x, cur_y, cur_valid,
                            guesses, lc: "LoopClosureConfig"):
     """Vmapped keyframe matching: all closure candidates of a whole chunk in
-    ONE dispatch (old keyframe AND current scan both batched).
+    ONE dispatch (old keyframe EDT raster AND current scan both batched).
 
     On a remote-attached TPU every dispatch pays a ~30 ms round trip; the
     per-candidate (round 0) and then per-keyframe (round 1) dispatch loops
@@ -132,8 +143,10 @@ def _match_keyframes_batch(old_x, old_y, old_valid, cur_x, cur_y, cur_valid,
         _match_keyframes, lc_size=lc.raster_size, lc_pixel=lc.raster_pixel,
         n_theta=lc.n_theta, theta_step=lc.theta_step, half=lc.window_half,
         iters=lc.refine_iters)
-    return jax.vmap(fn)(old_x, old_y, old_valid, cur_x, cur_y, cur_valid,
-                        guesses)
+    rel, avg, inl = jax.vmap(fn)(old_metric, cur_x, cur_y, cur_valid, guesses)
+    # packed (B, 5): the caller fetches ONE array (each fetch is a full
+    # tunnel round trip)
+    return jnp.concatenate([rel, avg[:, None], inl[:, None]], axis=1)
 
 
 # -- host-side SE(2) helpers (numpy; bookkeeping must not dispatch) -----------
@@ -163,6 +176,20 @@ def _np_compose_ref(a, z):
                        a[2] + z[2]], np.float32)
 
 
+def _np_transform_ref(x, y, poses):
+    """Vectorized reference-convention transform, host numpy.
+
+    x, y: (..., N); poses: (..., 3) broadcastable. Feedback-path map rebuilds
+    run on host (float roundoff vs the jnp path is irrelevant there — the
+    rebuilt map is our own extension, not a parity surface) so the graph
+    backend never round-trips half-megabyte point clouds through the tunnel."""
+    t = poses[..., 2:3]
+    ct, st = np.cos(t, dtype=np.float32), np.sin(t, dtype=np.float32)
+    wx = ct * x + st * y + poses[..., 0:1]
+    wy = -st * x + ct * y + poses[..., 1:2]
+    return wx.astype(np.float32), wy.astype(np.float32)
+
+
 class GraphSlam:
     """Host-side orchestrator. See module docstring.
 
@@ -179,6 +206,8 @@ class GraphSlam:
 
     def __init__(self, cfg: SlamConfig, lc: LoopClosureConfig = LoopClosureConfig(),
                  max_keyframes: int = 512):
+        from lidar_slam_tpu.utils.profiling import StageTimer
+
         self.cfg = cfg
         self.lc = lc
         self.max_keyframes = max_keyframes
@@ -187,12 +216,18 @@ class GraphSlam:
         self._kf_x = np.zeros((max_keyframes, n), np.float32)
         self._kf_y = np.zeros((max_keyframes, n), np.float32)
         self._kf_valid = np.zeros((max_keyframes, n), bool)
+        # per-keyframe EDT raster cache (host): computed once per keyframe in
+        # bucketed dispatches, reused by every closure attempt against it
+        self._kf_metric = np.zeros((max_keyframes, lc.raster_size,
+                                    lc.raster_size), np.float32)
         self._kf_count = 0
+        self._saturation_warned = False
         # edge lists (host): (i, j, z_std (3,), w (3,))
         self._edges: list[tuple[int, int, np.ndarray, np.ndarray]] = []
         self.kf_poses: list[np.ndarray] = []   # ref-convention, host mirror
         self.closures: list[tuple[int, int]] = []
         self.kf_times: list[int] = []   # scan index of each keyframe
+        self.timer = StageTimer()      # per-phase wall breakdown of run()
 
     # -- views ------------------------------------------------------------------
     @property
@@ -209,6 +244,14 @@ class GraphSlam:
         if k:
             poses[:k] = np.stack([_np_ref_to_std(p) for p in self.kf_poses])
         e = min(len(self._edges), self.max_keyframes * 4)
+        if e < len(self._edges) and not getattr(self, "_edge_warned", False):
+            import warnings
+
+            warnings.warn(
+                f"pose-graph edge store saturated at {e}; "
+                f"{len(self._edges) - e} edges dropped from optimization",
+                stacklevel=2)
+            self._edge_warned = True
         ei = np.zeros(self.max_keyframes * 4, np.int32)
         ej = np.zeros(self.max_keyframes * 4, np.int32)
         ez = np.zeros((self.max_keyframes * 4, 3), np.float32)
@@ -229,6 +272,15 @@ class GraphSlam:
                       scan_t: int = 0):
         k = self._kf_count
         if k >= self.max_keyframes:
+            if not self._saturation_warned:
+                import warnings
+
+                warnings.warn(
+                    f"GraphSlam keyframe store saturated at "
+                    f"{self.max_keyframes}; further keyframes (and their "
+                    f"closure opportunities) are dropped — raise "
+                    f"max_keyframes for longer tours", stacklevel=2)
+                self._saturation_warned = True
             return k - 1  # saturate (mirrors the fixed-capacity stores)
         self._kf_x[k] = np.asarray(scan_x)
         self._kf_y[k] = np.asarray(scan_y)
@@ -244,6 +296,26 @@ class GraphSlam:
         self.kf_times.append(scan_t)
         return k
 
+    def _compute_kf_metrics(self, kf_indices: list[int]) -> None:
+        """Fill the host EDT-raster cache for newly added keyframes.
+
+        Fixed-width buckets (pad by repeating the first index) keep one
+        compiled program for every chunk; each bucket is one dispatch."""
+        if not kf_indices:
+            return
+        lc = self.lc
+        bucket = _closure_batch()
+        n_batches = (len(kf_indices) + bucket - 1) // bucket
+        padded = kf_indices + [kf_indices[0]] * (n_batches * bucket
+                                                 - len(kf_indices))
+        for s in range(n_batches):
+            o = padded[s * bucket: (s + 1) * bucket]
+            m = _raster_edt_batch(
+                jnp.asarray(self._kf_x[o]), jnp.asarray(self._kf_y[o]),
+                jnp.asarray(self._kf_valid[o]), lc.raster_size,
+                lc.raster_pixel)
+            self._kf_metric[o] = np.asarray(m)
+
     def _closure_candidates(self, k: int) -> list[int]:
         """Old keyframes worth matching against keyframe ``k`` (pure host)."""
         lc = self.lc
@@ -256,17 +328,16 @@ class GraphSlam:
         old.sort(key=lambda c: c[1])
         return [i for i, _ in old[: lc.max_candidates]]
 
-    def _try_loop_closures_batch(self, new_kf: list[tuple[int, int]],
-                                 sx_c, sy_c, sv_c) -> bool:
+    def _try_loop_closures_batch(self, new_kf: list[int]) -> bool:
         """Match every (new keyframe, old candidate) pair of the chunk in ONE
         vmapped dispatch; accept/reject on host. Returns True if any closure
-        was accepted. ``new_kf`` holds (keyframe index, chunk row) pairs;
-        ``s*_c`` are the chunk's gated scans (host numpy)."""
+        was accepted. ``new_kf`` holds keyframe indices; the current scans
+        come from the keyframe store (they ARE keyframe scans)."""
         lc = self.lc
-        rows: list[tuple[int, int, np.ndarray]] = []   # (k, chunk_row, i_old)
-        for k, r in new_kf:
+        rows: list[tuple[int, int]] = []   # (k, i_old)
+        for k in new_kf:
             for i_old in self._closure_candidates(k):
-                rows.append((k, r, i_old))
+                rows.append((k, i_old))
         if not rows:
             return False
         # ONE fixed batch shape: every distinct vmap width would recompile
@@ -278,26 +349,22 @@ class GraphSlam:
         bucket = _closure_batch()
         n_batches = (b + bucket - 1) // bucket
         padded = rows + [rows[0]] * (n_batches * bucket - b)
-        ks = [k for k, _, _ in padded]
-        crs = [r for _, r, _ in padded]
-        olds = [i for _, _, i in padded]
+        ks = [k for k, _ in padded]
+        olds = [i for _, i in padded]
         guesses = np.stack([_np_between_ref(self.kf_poses[i], self.kf_poses[k])
-                            for k, _, i in padded])
-        rels_l, avg_l, inl_l = [], [], []
+                            for k, i in padded])
+        packs = []
         for s in range(n_batches):
             sl = slice(s * bucket, (s + 1) * bucket)
             o = olds[sl]
-            r3 = _match_keyframes_batch(
-                jnp.asarray(self._kf_x[o]), jnp.asarray(self._kf_y[o]),
-                jnp.asarray(self._kf_valid[o]),
-                jnp.asarray(sx_c[crs[sl]]), jnp.asarray(sy_c[crs[sl]]),
-                jnp.asarray(sv_c[crs[sl]]), jnp.asarray(guesses[sl]), lc)
-            rels_l.append(np.asarray(r3[0]))
-            avg_l.append(np.asarray(r3[1]))
-            inl_l.append(np.asarray(r3[2]))
-        rels = np.concatenate(rels_l)
-        avg_ds = np.concatenate(avg_l)
-        inliers = np.concatenate(inl_l)
+            kk = ks[sl]
+            packs.append(np.asarray(_match_keyframes_batch(
+                jnp.asarray(self._kf_metric[o]),
+                jnp.asarray(self._kf_x[kk]), jnp.asarray(self._kf_y[kk]),
+                jnp.asarray(self._kf_valid[kk]), jnp.asarray(guesses[sl]),
+                lc)))
+        packed = np.concatenate(packs)
+        rels, avg_ds, inliers = packed[:, :3], packed[:, 3], packed[:, 4]
 
         any_accepted = False
         for row in range(b):                   # skip padded rows
@@ -323,16 +390,23 @@ class GraphSlam:
             any_accepted = True
         return any_accepted
 
-    def _optimize(self) -> bool:
-        """One damped-GN solve over the materialized graph; NaN-revert."""
+    def _optimize(self) -> float:
+        """One damped-GN solve over the materialized graph; NaN-revert.
+
+        Returns the max keyframe position move (m) the solve produced —
+        callers gate the (expensive) frontend feedback on it; -1.0 on
+        NaN-revert."""
         candidate = posegraph.optimize(self.graph, iters=10)
         opt = np.asarray(candidate.poses[: self._kf_count])
         if not np.isfinite(opt).all():
             # keep the unoptimized poses; the offending edge stays but robust
             # reweighting bounds its influence
-            return False
+            return -1.0
+        old = np.stack([_np_ref_to_std(p) for p in self.kf_poses])
+        delta = float(np.max(np.hypot(opt[:, 0] - old[:, 0],
+                                      opt[:, 1] - old[:, 1]))) if len(old) else 0.0
         self.kf_poses = [_np_ref_to_std(p) for p in opt]  # std->ref (involution)
-        return True
+        return delta
 
     # -- frontend feedback ----------------------------------------------------
     def _post_chunk(self, state) -> None:
@@ -345,9 +419,13 @@ class GraphSlam:
         (pose' = opt_k (+) (old_k (-) pose), anchored on the frontend's own
         record of its last keyframe pose), and the point map is rebuilt from
         the stored keyframe scans at their optimized poses (subsampled to
-        capacity) in a single vectorized transform. mini_updated is forced so
-        the next step re-rasters the corrected map before matching."""
-        old_last = np.asarray(state.pmap.keyframe_pose)
+        capacity). All array math runs in host numpy with ONE packed fetch of
+        the three frontend poses — the earlier device version round-tripped
+        the whole (K, 1079) world-frame cloud per feedback. mini_updated is
+        forced so the next step re-rasters the corrected map."""
+        fb = np.asarray(jnp.stack([state.pmap.keyframe_pose, state.pose,
+                                   state.prev_pose]))           # one fetch
+        old_last, cur_pose, prev_pose = fb[0], fb[1], fb[2]
         new_last = self.kf_poses[-1]
 
         def correct(pose):
@@ -355,10 +433,8 @@ class GraphSlam:
             return _np_compose_ref(new_last, z)
 
         k = self._kf_count
-        poses = jnp.asarray(np.stack(self.kf_poses))          # (K, 3)
-        wx, wy = se2.transform_ref(jnp.asarray(self._kf_x[:k]),
-                                   jnp.asarray(self._kf_y[:k]), poses)
-        wx, wy = np.asarray(wx), np.asarray(wy)
+        poses = np.stack(self.kf_poses)                         # (K, 3)
+        wx, wy = _np_transform_ref(self._kf_x[:k], self._kf_y[:k], poses)
         v = self._kf_valid[:k]
         allpts = np.stack([wx[v], wy[v]], axis=1)
         cap = state.pmap.xy.shape[0]
@@ -367,10 +443,10 @@ class GraphSlam:
         xy = np.zeros((cap, 2), np.float32)
         xy[: len(allpts)] = allpts
 
-        new_pose = jnp.asarray(correct(state.pose))
+        new_pose = jnp.asarray(correct(cur_pose))
         return state._replace(
             pose=new_pose,
-            prev_pose=jnp.asarray(correct(state.prev_pose)),
+            prev_pose=jnp.asarray(correct(prev_pose)),
             mini_updated=jnp.bool_(True),
             pmap=state.pmap._replace(
                 xy=jnp.asarray(xy),
@@ -380,22 +456,29 @@ class GraphSlam:
 
     # -- main loop ------------------------------------------------------------
     def run(self, ranges_all: np.ndarray, optimize_every_closure: bool = True,
-            chunk_size: int = 64, feedback: bool = True):
+            chunk_size: int | None = None, feedback: bool = True):
         """Returns (path (T,3) ref convention, optimized keyframe poses).
 
         The frontend runs in on-device ``lax.scan`` chunks that also emit the
-        gated scans (per-scan host syncs cost a ~30 ms dispatch round trip on
+        gated scans (per-scan host syncs cost a ~80-140 ms round trip on
         remote-attached TPUs); keyframe bookkeeping runs in host numpy, loop
         closures are matched in one batched dispatch per candidate keyframe,
-        and the graph is optimized at most once per chunk."""
+        and the graph is optimized at most once per chunk. Default chunk:
+        256 on TPU (fewer tunnel round trips; 82 scans/s on loop-700 vs 52
+        at 128), 64 on CPU (keeps closure cadence tight for the short test
+        fixtures)."""
+        if chunk_size is None:
+            chunk_size = 256 if jax.default_backend() == "tpu" else 64
         cfg = self.cfg
         state = self.frontend.init_state(jnp.asarray(ranges_all[0]), cfg)
         scan0 = sensor.read_scan(jnp.asarray(ranges_all[0]), self.angles, cfg.lidar)
         self._add_keyframe(np.asarray(scan0.x), np.asarray(scan0.y),
                            np.asarray(scan0.valid), np.zeros(3, np.float32))
+        self._compute_kf_metrics([0])  # keyframe 0 is a closure target too
         path = [np.zeros(3, np.float32)]
         slam_step = self.frontend.slam_step
         lidar_cfg = cfg.lidar
+        bucket = _closure_batch()
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def run_chunk(st, chunk_ranges):
@@ -404,36 +487,81 @@ class GraphSlam:
                 scan = sensor.read_scan(r, self.angles, lidar_cfg)  # CSE'd
                 return s2, (pose, s2.mini_updated, scan.x, scan.y, scan.valid)
 
-            return jax.lax.scan(body, st, chunk_ranges)
+            st2, (poses, flags, sx, sy, sv) = jax.lax.scan(body, st,
+                                                           chunk_ranges)
+            # poses+flags packed: the host needs them every chunk, the scans
+            # only for the few keyframe rows — one small fetch, not four
+            packed = jnp.concatenate(
+                [poses, flags[:, None].astype(jnp.float32)], axis=1)
+            return st2, packed, sx, sy, sv
+
+        @jax.jit
+        def gather_rows(sx, sy, sv, idx):
+            return jnp.stack([jnp.take(sx, idx, axis=0),
+                              jnp.take(sy, idx, axis=0),
+                              jnp.take(sv, idx, axis=0).astype(jnp.float32)],
+                             axis=1)                        # (B, 3, N)
 
         t = 1
         while t < len(ranges_all):
-            chunk = jnp.asarray(ranges_all[t: t + chunk_size])
-            state, (poses_c, flags_c, sx_c, sy_c, sv_c) = run_chunk(state, chunk)
-            poses_c = np.asarray(poses_c)
-            flags_c = np.asarray(flags_c)
-            sx_c, sy_c, sv_c = np.asarray(sx_c), np.asarray(sy_c), np.asarray(sv_c)
+            n_real = min(chunk_size, len(ranges_all) - t)
+            chunk_np = ranges_all[t: t + n_real]
+            if n_real < chunk_size:
+                # pad the trailing chunk to the fixed shape (repeating the
+                # last scan) so run_chunk never recompiles; padded steps'
+                # outputs are dropped and only perturb the final state by a
+                # few in-place re-matches of the same scan
+                chunk_np = np.concatenate(
+                    [chunk_np, np.repeat(chunk_np[-1:], chunk_size - n_real,
+                                         axis=0)], axis=0)
+            chunk = jnp.asarray(chunk_np)
+            with self.timer.stage("frontend_chunk"):
+                state, packed, sx_c, sy_c, sv_c = run_chunk(state, chunk)
+                packed = np.asarray(packed)                 # one fetch
+            poses_c = packed[:, :3]
+            flags_c = packed[:, 3] > 0.5
+            kf_rows = [i for i in range(n_real) if flags_c[i]]
+            # fetch only the keyframe rows' gated scans, in fixed-width
+            # buckets (one compiled gather program, one fetch per bucket)
+            blk = {}
+            with self.timer.stage("kf_fetch"):
+                for s in range(0, len(kf_rows), bucket):
+                    rows = kf_rows[s: s + bucket]
+                    idx = rows + [rows[0]] * (bucket - len(rows))
+                    got = np.asarray(gather_rows(sx_c, sy_c, sv_c,
+                                                 jnp.asarray(idx)))
+                    for j, r in enumerate(rows):
+                        blk[r] = got[j]
             # pass 1: register this chunk's keyframes (closure candidates
             # only ever look backward, so batching the adds is neutral)
             new_kf = []
-            for i in range(len(chunk)):
+            for i in range(n_real):
                 path.append(poses_c[i])
                 if not flags_c[i]:
                     continue
-                k = self._add_keyframe(sx_c[i], sy_c[i], sv_c[i], poses_c[i],
+                k = self._add_keyframe(blk[i][0], blk[i][1],
+                                       blk[i][2] > 0.5, poses_c[i],
                                        scan_t=t + i)
-                new_kf.append((k, i))
+                new_kf.append(k)
+            with self.timer.stage("kf_raster_edt"):
+                self._compute_kf_metrics(sorted(set(new_kf)))
             # frontend-specific bookkeeping (e.g. submap-anchor association)
             # before any optimization rewrites kf_poses
             self._post_chunk(state)
             # pass 2: all the chunk's loop-closure candidates in one
             # dispatch, then at most one optimize for the chunk
-            any_closed = self._try_loop_closures_batch(new_kf, sx_c, sy_c, sv_c)
+            with self.timer.stage("closure_match"):
+                any_closed = self._try_loop_closures_batch(new_kf)
             if any_closed and optimize_every_closure:
-                optimized = self._optimize()
-                if optimized and feedback:
-                    state = self._rebuild_frontend(state)
-            t += len(chunk)
+                with self.timer.stage("optimize"):
+                    delta = self._optimize()
+                if delta > 0.01 and feedback:
+                    # feedback only when the solve actually moved a keyframe
+                    # (> 1 cm) — steady-state closures that confirm the
+                    # current geometry don't pay a map rebuild
+                    with self.timer.stage("feedback"):
+                        state = self._rebuild_frontend(state)
+            t += n_real
 
         opt_poses = list(self.kf_poses)
         self.final_state = state  # for map export by callers/subclasses

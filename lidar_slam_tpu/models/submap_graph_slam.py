@@ -17,8 +17,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from lidar_slam_tpu.core import se2, submap
-from lidar_slam_tpu.models import submap_slam
+from lidar_slam_tpu.core import submap
+from lidar_slam_tpu.models import graph_slam, submap_slam
 from lidar_slam_tpu.models.graph_slam import GraphSlam
 
 
@@ -39,52 +39,58 @@ class SubmapGraphSlam(GraphSlam):
         Runs before any optimization in the chunk, so the anchor (frontend
         frame) and the keyframe pose estimate are expressed in the same
         frame; the recorded relation is the *rigid* link that survives every
-        subsequent optimization.
+        subsequent optimization. One packed fetch; all math in host numpy.
         """
-        atlas = state.atlas
-        n = int(atlas.n_submaps)
         if not self.kf_poses:
             return
+        atlas = state.atlas
+        packed = np.asarray(jnp.concatenate(
+            [atlas.anchors,
+             jnp.full((1, 3), atlas.n_submaps, jnp.float32)]))  # one fetch
+        anchors = packed[:-1]
+        n = int(packed[-1, 0])
         kf = np.stack(self.kf_poses)                       # (K, 3) ref conv
-        anchors = np.asarray(atlas.anchors)
         for s in range(n):
             if s in self.anchor_assoc:
                 continue
             d = np.hypot(kf[:, 0] - anchors[s, 0], kf[:, 1] - anchors[s, 1])
             i = int(np.argmin(d))
-            rel = np.asarray(se2.between_ref(jnp.asarray(kf[i]),
-                                             jnp.asarray(anchors[s])))
-            self.anchor_assoc[s] = (i, rel)
+            self.anchor_assoc[s] = (i, graph_slam._np_between_ref(kf[i],
+                                                                  anchors[s]))
 
     # -- feedback ---------------------------------------------------------------
-    def _corrected_anchors(self, atlas) -> jnp.ndarray:
-        """Recompute every associated anchor from current keyframe estimates."""
-        anchors = np.array(atlas.anchors)
+    def _corrected_anchors(self, anchors: np.ndarray) -> jnp.ndarray:
+        """Recompute every associated anchor from current keyframe estimates
+        (host numpy; anchors already fetched by the caller)."""
+        anchors = anchors.copy()
         for s, (i, rel) in self.anchor_assoc.items():
             if s >= anchors.shape[0] or i >= len(self.kf_poses):
                 continue
-            anchors[s] = np.asarray(se2.compose_ref(
-                jnp.asarray(self.kf_poses[i]), jnp.asarray(rel)))
+            anchors[s] = graph_slam._np_compose_ref(self.kf_poses[i], rel)
         return jnp.asarray(anchors)
 
     def _rebuild_frontend(self, state):
         """Fold optimized keyframes into the live state: re-anchor submaps
         rigidly and re-express the tracked pose relative to the last
         keyframe (same pose math as the flat-map version, but zero point
-        rewrites)."""
-        old_last = jnp.asarray(state.keyframe_pose)
-        new_last = jnp.asarray(self.kf_poses[-1])
+        rewrites). One packed fetch; host numpy math; uploads only."""
+        fb = np.asarray(jnp.concatenate(
+            [jnp.stack([state.keyframe_pose, state.pose, state.prev_pose]),
+             state.atlas.anchors]))                         # one fetch
+        old_last, cur_pose, prev_pose = fb[0], fb[1], fb[2]
+        anchors = fb[3:]
+        new_last = self.kf_poses[-1]
 
         def correct(pose):
-            z = se2.between_ref(old_last, jnp.asarray(pose))
-            return se2.compose_ref(new_last, z)
+            z = graph_slam._np_between_ref(old_last, np.asarray(pose))
+            return graph_slam._np_compose_ref(new_last, z)
 
         atlas = submap.apply_anchor_correction(
-            state.atlas, self._corrected_anchors(state.atlas))
-        new_pose = correct(state.pose)
+            state.atlas, self._corrected_anchors(anchors))
+        new_pose = jnp.asarray(correct(cur_pose))
         return state._replace(
             pose=new_pose,
-            prev_pose=correct(state.prev_pose),
+            prev_pose=jnp.asarray(correct(prev_pose)),
             keyframe_pose=new_pose + 0.0,
             mini_updated=jnp.bool_(True),
             atlas=atlas,
