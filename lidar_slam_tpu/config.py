@@ -49,8 +49,11 @@ class MatcherConfig:
     coarse_r: float = 0.008727      # rad (0.5 deg)
     fine_t: float = 0.025
     fine_r: float = 0.004363
-    # Full-window correlative search (performance mode; the reference only
-    # ever explores the fixed 3x3x3 neighborhood).
+    # Correlative search window half-widths, in steps per axis. The default
+    # +-1 reproduces the reference's fixed 3x3x3 neighborhood bit-exactly
+    # (main.c:424-426); wider values turn both matcher stages into a full
+    # correlative search over (2*window_r+1) x (2*window_t+1)^2 candidates
+    # scored in the same single batched gather (ops/matching.py).
     window_t: int = 1               # +-window_t steps in x/y  (1 => 3 values)
     window_r: int = 1               # +-window_r steps in theta
 
@@ -60,7 +63,6 @@ class MapConfig:
     """Point-map capacities (reference ``main.c:123-151``)."""
 
     map_capacity: int = 20000
-    local_map_capacity: int = 25000
     new_point_threshold: float = 1.5   # bestHits > 1.5 novel-surface test (main.c:943)
     mini_update_dt: float = 0.3        # m   (main.c:838)
     mini_update_dr: float = 0.0872665  # rad (5 deg, main.c:839)
@@ -152,6 +154,6 @@ DEFAULT_CONFIG = SlamConfig()
 # tour and the matcher loses surfaces behind it).
 BUILDING_CONFIG = SlamConfig(
     grid=GridConfig(coarse_size=256, fine_size=512),
-    map=MapConfig(map_capacity=40000, local_map_capacity=40000),
+    map=MapConfig(map_capacity=40000),
     particles=ParticleConfig(cascade_levels=2),
 )

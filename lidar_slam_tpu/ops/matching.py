@@ -42,20 +42,26 @@ class MatchResult(NamedTuple):
     last_inb: jnp.ndarray    # (N,) bool — in-bounds&valid mask of the last candidate
 
 
-def candidate_grid_ref(pose: jnp.ndarray, step_t: float, step_r: float) -> jnp.ndarray:
-    """The reference's fixed 27-candidate set, in its loop order.
+def candidate_grid_ref(pose: jnp.ndarray, step_t: float, step_r: float,
+                       window_t: int = 1, window_r: int = 1) -> jnp.ndarray:
+    """The candidate set, in the reference's loop order.
 
-    Order: theta-major, then tx, then ty (main.c:443-487), each axis taking
-    (v - step, v, v + step).
+    Order: theta-major, then tx, then ty (main.c:443-487). With the default
+    +-1 windows each axis takes (v - step, v, v + step) — exactly the
+    reference's fixed 27-candidate set; wider windows generalize the same
+    grid to a full correlative search ((2*window_r+1) x (2*window_t+1)^2
+    candidates), which the batched scorer handles with no code change.
     """
-    offs = jnp.array([-1.0, 0.0, 1.0], jnp.float32)
-    thetas = pose[2] + offs * step_r
-    txs = pose[0] + offs * step_t
-    tys = pose[1] + offs * step_t
-    th = jnp.repeat(thetas, 9)
-    tx = jnp.tile(jnp.repeat(txs, 3), 3)
-    ty = jnp.tile(tys, 9)
-    return jnp.stack([tx, ty, th], axis=-1)  # (27, 3)
+    offs_t = jnp.arange(-window_t, window_t + 1, dtype=jnp.float32)
+    offs_r = jnp.arange(-window_r, window_r + 1, dtype=jnp.float32)
+    nr, nt = offs_r.shape[0], offs_t.shape[0]
+    thetas = pose[2] + offs_r * step_r
+    txs = pose[0] + offs_t * step_t
+    tys = pose[1] + offs_t * step_t
+    th = jnp.repeat(thetas, nt * nt)
+    tx = jnp.tile(jnp.repeat(txs, nt), nr)
+    ty = jnp.tile(tys, nr * nt)
+    return jnp.stack([tx, ty, th], axis=-1)  # (nr*nt*nt, 3)
 
 
 def project_scan(scan_x: jnp.ndarray, scan_y: jnp.ndarray,
@@ -101,13 +107,14 @@ def score_candidates(metric: jnp.ndarray, grid: OccGrid,
 
 def fast_match(metric: jnp.ndarray, grid: OccGrid,
                scan_x: jnp.ndarray, scan_y: jnp.ndarray, valid: jnp.ndarray,
-               pose: jnp.ndarray, step_t: float, step_r: float) -> MatchResult:
-    """One reference-faithful FastMatch call: argmin over the 27 candidates.
+               pose: jnp.ndarray, step_t: float, step_r: float,
+               window_t: int = 1, window_r: int = 1) -> MatchResult:
+    """One FastMatch call: argmin over the candidate window (27 at default).
 
     jnp.argmin returns the first minimum, matching the strict-< first-wins
     update order of the C loop.
     """
-    poses = candidate_grid_ref(pose, step_t, step_r)
+    poses = candidate_grid_ref(pose, step_t, step_r, window_t, window_r)
     scores, hits, inb = score_candidates(metric, grid, scan_x, scan_y, valid, poses)
     best = jnp.argmin(scores)
     counts = jnp.sum(inb, axis=1).astype(jnp.int32)

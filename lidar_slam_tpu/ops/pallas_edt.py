@@ -63,9 +63,49 @@ def _edt_kernel(a_ref, out_ref, *, max_dist: int):
         * jnp.float32(1.0 / 1024.0)
 
 
+def _edt_kernel_blocked(top_ref, mid_ref, bot_ref, out_ref, *, max_dist: int):
+    """Row-strip tile of the same transform: the strip plus one strip of halo
+    on each side (same padded array bound three times with index maps
+    i, i+1, i+2). Pass 1 is row-independent; pass 2's taps for the kept
+    middle rows stay inside the 3-strip tile because R < strip height, so
+    sublane rolls never wrap into kept territory."""
+    r = max_dist
+    a = jnp.concatenate([top_ref[:], mid_ref[:], bot_ref[:]], axis=0)
+    hp, wp = a.shape
+    s = hp // 3
+
+    d1 = a
+    for dx in range(1, r + 1):
+        fwd = pltpu.roll(a, (-dx) % wp, axis=1)
+        bwd = pltpu.roll(a, dx, axis=1)
+        d1 = jnp.minimum(d1, jnp.minimum(fwd, bwd) + jnp.float32(dx * dx))
+
+    d2 = d1
+    for dy in range(1, r + 1):
+        fwd = pltpu.roll(d1, (-dy) % hp, axis=0)
+        bwd = pltpu.roll(d1, dy, axis=0)
+        d2 = jnp.minimum(d2, jnp.minimum(fwd, bwd) + jnp.float32(dy * dy))
+
+    dist = jnp.minimum(jnp.sqrt(d2[s:2 * s]), jnp.float32(max_dist))
+    out_ref[:] = jnp.trunc(dist * jnp.float32(1024.0) + jnp.float32(0.5)) \
+        * jnp.float32(1.0 / 1024.0)
+
+
+# Whole-grid cutoff: the single-tile kernel holds ~15 grid-sized temporaries
+# live (measured: a padded 528x640 grid blows the 16 MB scoped-VMEM limit at
+# 20.3 MB), so grids whose padded f32 image exceeds ~1 MB take the row-blocked
+# path instead.
+_WHOLE_GRID_MAX_BYTES = 1 << 20
+_STRIP_ROWS = 64  # row-strip height (multiple of 8 sublanes, > max_dist)
+
+
 @functools.partial(jax.jit, static_argnames=("max_dist",))
 def edt_clamped_pallas(occ: jnp.ndarray, max_dist: int = 10) -> jnp.ndarray:
-    """Clamped EDT of a boolean grid as one fused Pallas kernel."""
+    """Clamped EDT of a boolean grid as one fused Pallas kernel.
+
+    Grids that fit the scoped-VMEM budget run as a single whole-grid tile;
+    larger grids (e.g. BUILDING_CONFIG's 512^2 fine grid) run as a 1-D grid of
+    row strips with one strip of INF-sentinel halo on each side."""
     h, w = occ.shape
     r = int(max_dist)
     # pad >= R beyond the data on each axis (wraparound reads must land in
@@ -73,16 +113,39 @@ def edt_clamped_pallas(occ: jnp.ndarray, max_dist: int = 10) -> jnp.ndarray:
     hp = -(-(h + r) // 8) * 8
     wp = -(-(w + r) // 128) * 128
     a = jnp.where(occ, jnp.float32(0.0), jnp.float32(_INF))
-    a = jnp.pad(a, ((0, hp - h), (0, wp - w)), constant_values=_INF)
+
+    if hp * wp * 4 <= _WHOLE_GRID_MAX_BYTES:
+        a = jnp.pad(a, ((0, hp - h), (0, wp - w)), constant_values=_INF)
+        out = pl.pallas_call(
+            functools.partial(_edt_kernel, max_dist=r),
+            out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            cost_estimate=pl.CostEstimate(
+                flops=hp * wp * (6 * max_dist + 4),
+                bytes_accessed=hp * wp * 8,
+                transcendentals=hp * wp,
+            ),
+        )(a)
+        return out[:h, :w]
+
+    s = _STRIP_ROWS
+    hs = -(-h // s) * s                    # data rows, strip-aligned
+    a = jnp.pad(a, ((s, hs - h + s), (0, wp - w)), constant_values=_INF)
+    n = hs // s
+    spec = lambda off: pl.BlockSpec((s, wp), lambda i: (i + off, 0),
+                                    memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_edt_kernel, max_dist=r),
-        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        functools.partial(_edt_kernel_blocked, max_dist=r),
+        grid=(n,),
+        out_shape=jax.ShapeDtypeStruct((hs, wp), jnp.float32),
+        in_specs=[spec(0), spec(1), spec(2)],
+        out_specs=pl.BlockSpec((s, wp), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
-            flops=hp * wp * (6 * max_dist + 4),
-            bytes_accessed=hp * wp * 8,
-            transcendentals=hp * wp,
+            flops=3 * hs * wp * (6 * max_dist + 4),
+            bytes_accessed=hs * wp * 16,
+            transcendentals=hs * wp,
         ),
-    )(a)
+    )(a, a, a)
     return out[:h, :w]

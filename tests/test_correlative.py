@@ -128,3 +128,39 @@ def test_pallas_volume_large_array_small_region_matches_jnp():
                                np.asarray(vol_jnp.scores), rtol=2e-5, atol=1e-3)
     np.testing.assert_allclose(np.asarray(vol_pl.counts),
                                np.asarray(vol_jnp.counts), atol=1e-3)
+
+
+def test_windowed_fast_match_default_is_reference_27():
+    """window=1 must produce the reference's exact candidate grid (order and
+    values), so fidelity-mode bit-parity is unchanged by the window feature."""
+    from lidar_slam_tpu.ops import matching
+
+    pose = jnp.asarray([1.0, -2.0, 0.3], jnp.float32)
+    got = matching.candidate_grid_ref(pose, 0.05, 0.01, 1, 1)
+    offs = jnp.array([-1.0, 0.0, 1.0], jnp.float32)
+    th = jnp.repeat(pose[2] + offs * 0.01, 9)
+    tx = jnp.tile(jnp.repeat(pose[0] + offs * 0.05, 3), 3)
+    ty = jnp.tile(pose[1] + offs * 0.05, 9)
+    want = jnp.stack([tx, ty, th], axis=-1)
+    assert got.shape == (27, 3)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_windowed_fast_match_recovers_large_offset():
+    """A +-4-step window finds an alignment 3 steps away that the reference's
+    +-1 window cannot reach in one call."""
+    from lidar_slam_tpu.ops import matching
+
+    metric, grid, sx, sy, valid = _toy_grid(seed=2)
+    # plant a zero-cost trench exactly at offset (+3 steps in x)
+    true_pose = jnp.asarray([0.3, 0.0, 0.0], jnp.float32)
+    cx, cy = matching.project_scan(sx, sy, true_pose[None], grid)
+    metric = metric.at[jnp.clip(cy[0] - 1, 0, 63),
+                       jnp.clip(cx[0] - 1, 0, 63)].set(0.0)
+    guess = jnp.zeros(3, jnp.float32)
+    narrow = matching.fast_match(metric, grid, sx, sy, valid, guess,
+                                 0.1, 0.01, 1, 1)
+    wide = matching.fast_match(metric, grid, sx, sy, valid, guess,
+                               0.1, 0.01, 4, 1)
+    assert wide.score < narrow.score
+    assert abs(float(wide.pose[0]) - 0.3) < 1e-6
