@@ -82,6 +82,63 @@ class ScanServer:
         self._httpd.server_close()
 
 
+class RelayServer:
+    """HTTP relay: forwards each request to an upstream ``ScanServer`` and
+    streams the body back — the ESP32's role in the reference's 3-process
+    chain (edge PC <-> ESP32 <-> dataset server; ``ESP32_Server.c:35-96``:
+    parse ``param``/``pose_x``/``pose_y``, log the pose, proxy the query
+    upstream, relay the JSON/PNG body). Runs in a background thread."""
+
+    def __init__(self, upstream_url: str, host: str = "127.0.0.1",
+                 port: int = 0):
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802
+                q = parse_qs(urlparse(self.path).query)
+                # the firmware logs pose/param on the device console
+                # (ESP32_Server.c:43-54); we keep the last pose observable
+                outer.last_pose = (q.get("pose_x", [None])[0],
+                                   q.get("pose_y", [None])[0])
+                outer.n_relayed += 1
+                try:
+                    with urllib.request.urlopen(
+                            upstream_url + "/?" + urlparse(self.path).query,
+                            timeout=10.0) as resp:
+                        body = resp.read()
+                        ctype = resp.headers.get("Content-Type",
+                                                 "application/json")
+                except Exception:
+                    # upstream connect failure -> 404 relay
+                    # (ESP32_Server.c:68-71)
+                    self.send_error(404)
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):  # quiet
+                pass
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self._httpd.server_address[1]
+        self.url = f"http://{host}:{self.port}"
+        self.last_pose: tuple = (None, None)
+        self.n_relayed = 0
+        self._thread = threading.Thread(target=self._httpd.serve_forever,
+                                        daemon=True)
+
+    def start(self) -> "RelayServer":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+
+
 def fetch_scan(url: str, param: int, pose=None, timeout: float = 5.0) -> np.ndarray:
     """Client side of the protocol (the esp32_edge.c:52-99 role)."""
     q = f"{url}/?param={param}"

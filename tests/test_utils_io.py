@@ -73,6 +73,36 @@ def test_scan_server_protocol(small_dataset, tmp_path):
         srv.stop()
 
 
+def test_relay_chain_protocol(small_dataset):
+    """3-process topology parity: client -> relay -> dataset server
+    (esp32_edge.c <-> ESP32_Server.c <-> Lidar_server.py, SURVEY 3.4)."""
+    from lidar_slam_tpu.io import server
+
+    ranges, _ = small_dataset
+    srv = server.ScanServer(ranges[:10]).start()
+    relay = server.RelayServer(srv.url).start()
+    try:
+        # scans flow through the relay unchanged; the pose query keys are
+        # observed at the relay hop like the ESP32 firmware logs them
+        row = server.fetch_scan(relay.url, 4, pose=(3.0, -1.5))
+        np.testing.assert_allclose(row, np.round(ranges[4], 2), atol=1e-6)
+        assert relay.last_pose == ("3.000", "-1.500")
+        assert relay.n_relayed == 1
+        # out-of-range upstream 404 is relayed as 404 (ESP32_Server.c:68-71)
+        with pytest.raises(Exception):
+            server.fetch_scan(relay.url, 9999)
+    finally:
+        relay.stop()
+        srv.stop()
+    # dead upstream -> 404 from the relay, not a hang
+    relay2 = server.RelayServer("http://127.0.0.1:1").start()
+    try:
+        with pytest.raises(Exception):
+            server.fetch_scan(relay2.url, 0)
+    finally:
+        relay2.stop()
+
+
 def test_streaming_slam_matches_offline(small_dataset):
     from lidar_slam_tpu.io import server
 
