@@ -260,7 +260,8 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
     from lidar_slam_tpu import native
-    from lidar_slam_tpu.config import BUILDING_CONFIG, DEFAULT_CONFIG, ParticleConfig
+    from lidar_slam_tpu.config import (BUILDING_CONFIG, BUILDING_WIDE_CONFIG,
+                                       DEFAULT_CONFIG, ParticleConfig)
     from lidar_slam_tpu.io import dataset, simulate
     from lidar_slam_tpu.models import fastslam, scan_matcher
     from lidar_slam_tpu.utils.metrics import ate, max_abs_err
@@ -334,6 +335,7 @@ def main() -> None:
             n_scans=simulate.BUILDING_N_SCANS, world="building")
         n_b = b_ranges.shape[0]
         b_floor = _dispatch_floor(b_ranges)
+        # (a) parity config (+-1 window): diverges exactly like the C oracle
         f_sps, f_err = _timed_run(
             lambda eps: scan_matcher.run_scan(b_ranges + eps, BUILDING_CONFIG),
             "fidelity-building", b_gt, n_b, b_floor)
@@ -343,6 +345,14 @@ def main() -> None:
             "scans_per_sec": round(f_sps, 1), "ate": round(f_err, 4),
             "bit_exact_vs_oracle": bool(
                 max_abs_err(np.asarray(jpath), cpath) == 0.0)}
+        # (b) solved config (+-2 correlative window): the accuracy headline
+        # on the hard workload the reference's fixed window cannot track
+        w_sps, w_err = _timed_run(
+            lambda eps: scan_matcher.run_scan(b_ranges + eps,
+                                              BUILDING_WIDE_CONFIG),
+            "wide-building", b_gt, n_b, b_floor)
+        secondary["building3800_wide"] = {
+            "scans_per_sec": round(w_sps, 1), "ate": round(w_err, 4)}
         bcfg = dataclasses.replace(
             BUILDING_CONFIG, particles=dataclasses.replace(
                 BUILDING_CONFIG.particles, n_particles=1024))
@@ -363,18 +373,11 @@ def main() -> None:
     def s_ekf():
         from lidar_slam_tpu.models import ekf_slam
 
-        # long-tour config: range-scaled measurement noise + wide proposal +
-        # late resampling keep the sparse-landmark filter bounded (~1 m over
-        # the full 1000-scan tour incl. a landmark-poor room transition; the
-        # landmark-rich envelope is pinned < 0.1 m at 400 scans in tests)
-        ecfg = ekf_slam.EkfSlamConfig(
-            n_particles=1024, max_landmarks=64, r_noise=0.02,
-            r_noise_per_m=0.015, b_noise=0.008, odo_xy_noise=0.012,
-            odo_th_noise=0.02, new_lm_logp0=-11.0, resample_threshold=0.25)
+        ecfg = ekf_slam.long_tour_config(1024)
         e_sps, e_err = _timed_run(
             lambda eps: ekf_slam.run_ekf_slam_scan(
                 ranges + eps, ecfg, lidar_cfg=DEFAULT_CONFIG.lidar, seed=0,
-                max_range=12.0),
+                max_range=ekf_slam.LONG_TOUR_MAX_RANGE),
             "ekf-1024", gt, n_scans, floor)
         secondary["ekf1024_museum1000"] = {
             "scans_per_sec": round(e_sps, 1), "ate": round(e_err, 4)}

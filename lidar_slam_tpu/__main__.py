@@ -115,18 +115,10 @@ def cmd_run(args) -> int:
         # (ops/landmarks.py) with per-particle ML association.
         from lidar_slam_tpu.models import ekf_slam
 
-        # long-tour config (see bench.py s_ekf): range-scaled noise + wide
-        # proposal + late resampling bound drift through landmark-poor legs
-        ecfg = ekf_slam.EkfSlamConfig(n_particles=args.particles,
-                                      max_landmarks=64,
-                                      r_noise=0.02, r_noise_per_m=0.015,
-                                      b_noise=0.008,
-                                      odo_xy_noise=0.012, odo_th_noise=0.02,
-                                      new_lm_logp0=-11.0,
-                                      resample_threshold=0.25)
+        ecfg = ekf_slam.long_tour_config(args.particles)
         path, final = ekf_slam.run_ekf_slam_scan(
             ranges, ecfg, lidar_cfg=cfg.lidar, seed=args.seed,
-            max_range=12.0)
+            max_range=ekf_slam.LONG_TOUR_MAX_RANGE)
         path = np.asarray(path)
         est_lms = ekf_slam.landmark_estimates(final)
         n_seen = float(np.asarray(final.lm_seen).sum(axis=1).mean())

@@ -51,6 +51,24 @@ class EkfSlamConfig(NamedTuple):
     #                              flooding the bank with shifted duplicates.
 
 
+def long_tour_config(n_particles: int = 1024) -> EkfSlamConfig:
+    """The tuned scan-driven config — the ONE place it lives (CLI ``run
+    --mode ekf`` and ``bench.py`` both use it; round 2 duplicated the numbers
+    in both and they drifted).
+
+    Range-scaled measurement noise + wide proposal + late resampling keep the
+    sparse-landmark filter bounded (~1 m over the full 1000-scan museum tour
+    incl. a landmark-poor room transition; the landmark-rich envelope is
+    pinned < 0.1 m at 400 scans in tests)."""
+    return EkfSlamConfig(
+        n_particles=n_particles, max_landmarks=64, r_noise=0.02,
+        r_noise_per_m=0.015, b_noise=0.008, odo_xy_noise=0.012,
+        odo_th_noise=0.02, new_lm_logp0=-11.0, resample_threshold=0.25)
+
+
+LONG_TOUR_MAX_RANGE = 12.0  # detection gating range pairing with the config
+
+
 class EkfSlamState(NamedTuple):
     poses: jnp.ndarray      # (P, 3)
     prev_poses: jnp.ndarray  # (P, 3) — constant-velocity memory (scan mode)

@@ -40,6 +40,15 @@ class LoopClosureConfig:
     window_half: int = 14         # +-2.8 m search window
     accept_avg_dist: float = 1.1  # px — acceptance threshold
     min_inlier_frac: float = 0.75  # fraction of beams in bounds
+    # peak-sharpness gate: reject a match when more than this fraction of the
+    # whole search volume scores within ``ambiguity_margin`` px of the best
+    # cell. Corridor aliasing leaves a near-flat valley along the corridor
+    # axis (a line of near-optimal cells); a true unique alignment has a
+    # sharp, isolated minimum. Wrong-but-plausible corridor closures were the
+    # dominant graph-accuracy failure on building-3800 (ATE 10.3 m with them,
+    # 0.17 m frontend-only).
+    max_ambiguity: float = 0.01
+    ambiguity_margin: float = 0.25  # px above the best average distance
     min_gap: int = 10             # keyframe index gap before closing
     max_dist: float = 4.0         # m — candidate search radius
     max_candidates: int = 2       # old keyframes tried per new keyframe
@@ -93,11 +102,15 @@ def _raster_edt_batch(x, y, valid, size: int, pixel: float):
                                              "theta_step", "half", "iters"))
 def _match_keyframes(metric, cur_x, cur_y, cur_valid,
                      guess_rel, lc_size: int, lc_pixel: float, n_theta: int,
-                     theta_step: float, half: int, iters: int):
+                     theta_step: float, half: int, iters: int,
+                     ambiguity_margin: float = 0.25):
     """Match current scan against an old keyframe's cached EDT raster.
 
-    Returns (rel_pose (3,), avg_dist (), inlier_frac ()). ``guess_rel`` and
-    the result use the reference convention in the old keyframe's frame."""
+    Returns (rel_pose (3,), avg_dist (), inlier_frac (), ambiguity ()) —
+    ambiguity is the fraction of search-volume cells scoring within
+    ``ambiguity_margin`` px of the best cell (flat valley = aliased match).
+    ``guess_rel`` and the result use the reference convention in the old
+    keyframe's frame."""
     halfm = lc_size // 2 * lc_pixel
     grid = OccGrid(occ=jnp.zeros((lc_size, lc_size), jnp.bool_),
                    n_rows=jnp.int32(lc_size), n_cols=jnp.int32(lc_size),
@@ -127,7 +140,15 @@ def _match_keyframes(metric, cur_x, cur_y, cur_valid,
     counts = correlative.lookup_avg_distance(
         vol._replace(scores=vol.counts, counts=jnp.ones_like(vol.counts)),
         rel[None])[0]
-    return rel, avg_d, counts / n_valid.astype(jnp.float32)
+    # peak sharpness over the whole (T, W, W) volume: cells with too few
+    # in-bounds beams score INF so they never count as near-optimal
+    cell_avg = jnp.where(vol.counts > 0.5 * n_valid.astype(jnp.float32),
+                         vol.scores / jnp.maximum(vol.counts, 1.0), jnp.inf)
+    best_cell = jnp.min(cell_avg)
+    ambiguity = jnp.mean(
+        (cell_avg <= best_cell + jnp.float32(ambiguity_margin))
+        .astype(jnp.float32))
+    return rel, avg_d, counts / n_valid.astype(jnp.float32), ambiguity
 
 
 
@@ -142,11 +163,13 @@ def _match_keyframes_batch(old_metric, cur_x, cur_y, cur_valid,
     fn = functools.partial(
         _match_keyframes, lc_size=lc.raster_size, lc_pixel=lc.raster_pixel,
         n_theta=lc.n_theta, theta_step=lc.theta_step, half=lc.window_half,
-        iters=lc.refine_iters)
-    rel, avg, inl = jax.vmap(fn)(old_metric, cur_x, cur_y, cur_valid, guesses)
-    # packed (B, 5): the caller fetches ONE array (each fetch is a full
+        iters=lc.refine_iters, ambiguity_margin=lc.ambiguity_margin)
+    rel, avg, inl, amb = jax.vmap(fn)(old_metric, cur_x, cur_y, cur_valid,
+                                      guesses)
+    # packed (B, 6): the caller fetches ONE array (each fetch is a full
     # tunnel round trip)
-    return jnp.concatenate([rel, avg[:, None], inl[:, None]], axis=1)
+    return jnp.concatenate([rel, avg[:, None], inl[:, None], amb[:, None]],
+                           axis=1)
 
 
 # -- host-side SE(2) helpers (numpy; bookkeeping must not dispatch) -----------
@@ -364,13 +387,15 @@ class GraphSlam:
                 jnp.asarray(self._kf_valid[kk]), jnp.asarray(guesses[sl]),
                 lc)))
         packed = np.concatenate(packs)
-        rels, avg_ds, inliers = packed[:, :3], packed[:, 3], packed[:, 4]
+        rels, avg_ds, inliers, ambigs = (packed[:, :3], packed[:, 3],
+                                         packed[:, 4], packed[:, 5])
 
         any_accepted = False
         for row in range(b):                   # skip padded rows
             i, k = olds[row], ks[row]
             if (avg_ds[row] > lc.accept_avg_dist
-                    or inliers[row] < lc.min_inlier_frac):
+                    or inliers[row] < lc.min_inlier_frac
+                    or ambigs[row] > lc.max_ambiguity):
                 continue
             # rail rejection: a "match" at the edge of the search window means
             # the true alignment is outside it (drift exceeded the window) —

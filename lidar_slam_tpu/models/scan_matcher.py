@@ -117,20 +117,21 @@ def slam_step(state: SlamState, ranges: jnp.ndarray, cfg: SlamConfig,
     # defaults to the reference's +-1 step, wider windows (matcher.window_t/
     # window_r) turn the same batched scorer into a full correlative search
     wt, wr = int(mc.window_t), int(mc.window_r)
+    pen = float(mc.window_penalty_px)
 
     def match_coarse(_):
         return matching.fast_match(coarse_metric, coarse, scan.x, scan.y,
                                    scan.valid, guess, mc.coarse_t, mc.coarse_r,
-                                   wt, wr)
+                                   wt, wr, pen)
 
     def match_fine(_):
         return matching.fast_match(fine_metric, fine, scan.x, scan.y,
                                    scan.valid, guess, mc.coarse_t, mc.coarse_r,
-                                   wt, wr)
+                                   wt, wr, pen)
 
     m1 = jax.lax.cond(state.mini_updated, match_coarse, match_fine, None)
     m2 = matching.fast_match(fine_metric, fine, scan.x, scan.y, scan.valid,
-                             m1.pose, mc.fine_t, mc.fine_r, wt, wr)
+                             m1.pose, mc.fine_t, mc.fine_r, wt, wr, pen)
     new_pose = m2.pose
 
     # --- mini-update rule (main.c:928-961) ---

@@ -108,14 +108,34 @@ def score_candidates(metric: jnp.ndarray, grid: OccGrid,
 def fast_match(metric: jnp.ndarray, grid: OccGrid,
                scan_x: jnp.ndarray, scan_y: jnp.ndarray, valid: jnp.ndarray,
                pose: jnp.ndarray, step_t: float, step_r: float,
-               window_t: int = 1, window_r: int = 1) -> MatchResult:
+               window_t: int = 1, window_r: int = 1,
+               window_penalty_px: float = 1.0) -> MatchResult:
     """One FastMatch call: argmin over the candidate window (27 at default).
 
     jnp.argmin returns the first minimum, matching the strict-< first-wins
     update order of the C loop.
+
+    With windows wider than the reference's +-1, distant candidates pay a
+    center-bias penalty of ``window_penalty_px`` (summed EDT px) per step of
+    L1 offset beyond the inner 3x3x3. Two reasons: (a) corridor aliasing —
+    translation along a featureless corridor scores almost flat, and an
+    unpenalized far candidate that wins by a fraction of a pixel yanks the
+    pose by multiple steps; (b) determinism — near-tie argmin flips between
+    *distant* poses amplify one-ulp backend differences into meters of
+    trajectory divergence (observed CPU-vs-TPU on building-3800). A genuinely
+    better far candidate (e.g. during a fast turn, where +-2 theta wins by
+    hundreds of px) clears the penalty trivially. window=1 is untouched —
+    bit-exact reference parity.
     """
     poses = candidate_grid_ref(pose, step_t, step_r, window_t, window_r)
     scores, hits, inb = score_candidates(metric, grid, scan_x, scan_y, valid, poses)
+    if window_t > 1 or window_r > 1:
+        ot = jnp.abs(jnp.arange(-window_t, window_t + 1, dtype=jnp.float32))
+        orr = jnp.abs(jnp.arange(-window_r, window_r + 1, dtype=jnp.float32))
+        excess = (jnp.maximum(orr - 1.0, 0.0)[:, None, None]
+                  + jnp.maximum(ot - 1.0, 0.0)[None, :, None]
+                  + jnp.maximum(ot - 1.0, 0.0)[None, None, :]).reshape(-1)
+        scores = scores + jnp.float32(window_penalty_px) * excess
     best = jnp.argmin(scores)
     counts = jnp.sum(inb, axis=1).astype(jnp.int32)
     # Compact the last candidate's hits the way the C buffer ends up

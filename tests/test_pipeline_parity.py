@@ -98,3 +98,35 @@ def test_building_prefix_bit_exact():
     cpath, _ = native.run_oracle_cfg(ranges[:200], BUILDING_CONFIG)
     jpath, _ = scan_matcher.run_scan(ranges[:200], BUILDING_CONFIG)
     assert np.array_equal(np.asarray(jpath), cpath)
+
+
+@pytest.mark.slow
+def test_building_3800_wide_window_solves_tour():
+    """The solved building workload: the +-2 correlative window with the
+    center-bias penalty keeps the frontend locked through the corridor turns
+    that break the reference's fixed +-1 window (5.3 m ATE above). Swept
+    result: ATE 0.092 m on both CPU and TPU with identical trajectories."""
+    from lidar_slam_tpu.config import BUILDING_WIDE_CONFIG
+    from lidar_slam_tpu.io import dataset, simulate
+
+    ranges, gt, _ = dataset.ensure_dataset(
+        n_scans=simulate.BUILDING_N_SCANS, world="building")
+    jpath, _ = scan_matcher.run_scan(ranges, BUILDING_WIDE_CONFIG)
+    assert ate(np.asarray(jpath), gt) < 0.5
+
+
+def test_building_wide_window_prefix():
+    """Quick tier: by scan 1000 (first hard corridor turns) the +-1 parity
+    window has already lost ~0.5 m that the wide window tracks through."""
+    from lidar_slam_tpu.config import BUILDING_CONFIG, BUILDING_WIDE_CONFIG
+    from lidar_slam_tpu.io import dataset, simulate
+
+    n = 1000
+    ranges, gt, _ = dataset.ensure_dataset(
+        n_scans=simulate.BUILDING_N_SCANS, world="building")
+    wide, _ = scan_matcher.run_scan(ranges[:n], BUILDING_WIDE_CONFIG)
+    narrow, _ = scan_matcher.run_scan(ranges[:n], BUILDING_CONFIG)
+    e_wide = ate(np.asarray(wide), gt[:n])
+    e_narrow = ate(np.asarray(narrow), gt[:n])
+    assert e_wide < 0.2
+    assert e_narrow > 2.0 * e_wide
