@@ -109,6 +109,28 @@ def _inv2(m: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return inv / det[..., None, None], det
 
 
+def _mm2(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched 2x2 @ 2x2 as elementwise VPU math (broadcasts like ``@``).
+
+    Deliberately NOT a dot_general: on TPU the default-precision dot path
+    rounds f32 inputs to bf16, and the EKF-bank recursion (covariances feed
+    the next step's gains for 1000 steps) amplifies that rounding into
+    trajectory-level error. Elementwise keeps full f32 at the same FLOPs."""
+    a00, a01 = a[..., 0, 0], a[..., 0, 1]
+    a10, a11 = a[..., 1, 0], a[..., 1, 1]
+    b00, b01 = b[..., 0, 0], b[..., 0, 1]
+    b10, b11 = b[..., 1, 0], b[..., 1, 1]
+    return jnp.stack([
+        jnp.stack([a00 * b00 + a01 * b10, a00 * b01 + a01 * b11], -1),
+        jnp.stack([a10 * b00 + a11 * b10, a10 * b01 + a11 * b11], -1)], -2)
+
+
+def _mv2(m: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Batched 2x2 @ 2-vector, elementwise (see _mm2)."""
+    return jnp.stack([m[..., 0, 0] * v[..., 0] + m[..., 0, 1] * v[..., 1],
+                      m[..., 1, 0] * v[..., 0] + m[..., 1, 1] * v[..., 1]], -1)
+
+
 def ekf_slam_step(state: EkfSlamState, odo: jnp.ndarray, obs: jnp.ndarray,
                   vis: jnp.ndarray, cfg: EkfSlamConfig
                   ) -> tuple[EkfSlamState, jnp.ndarray]:
@@ -147,14 +169,14 @@ def ekf_slam_step(state: EkfSlamState, odo: jnp.ndarray, obs: jnp.ndarray,
     ], axis=-2)                                                  # (P, L, 2, 2)
 
     pcov = state.lm_cov
-    hp = h @ pcov                                                # (P, L, 2, 2)
-    s_mat = hp @ jnp.swapaxes(h, -1, -2)
+    hp = _mm2(h, pcov)                                           # (P, L, 2, 2)
+    s_mat = _mm2(hp, jnp.swapaxes(h, -1, -2))
     s_mat = s_mat + jnp.asarray([[r_noise2, 0.0], [0.0, b_noise2]])
     s_inv, s_det = _inv2(s_mat)
-    k_gain = jnp.swapaxes(hp, -1, -2) @ s_inv                    # P H^T S^-1
-    upd_mean = state.lm_mean + (k_gain @ nu[..., None])[..., 0]
-    upd_cov = pcov - k_gain @ hp
-    loglik = -0.5 * ((nu[..., None, :] @ s_inv @ nu[..., None])[..., 0, 0]
+    k_gain = _mm2(jnp.swapaxes(hp, -1, -2), s_inv)               # P H^T S^-1
+    upd_mean = state.lm_mean + _mv2(k_gain, nu)
+    upd_cov = pcov - _mm2(k_gain, hp)
+    loglik = -0.5 * (jnp.sum(nu * _mv2(s_inv, nu), -1)
                      + jnp.log(jnp.maximum(s_det, 1e-12))
                      + 2.0 * jnp.log(2.0 * jnp.pi))              # (P, L)
 
@@ -169,7 +191,7 @@ def ekf_slam_step(state: EkfSlamState, odo: jnp.ndarray, obs: jnp.ndarray,
     ], axis=-2)                                                  # (P, L, 2, 2)
     meas_cov = jnp.asarray([[cfg.r_noise ** 2, 0.0],
                             [0.0, cfg.b_noise ** 2]], jnp.float32)
-    init_cov = jac @ meas_cov @ jnp.swapaxes(jac, -1, -2)
+    init_cov = _mm2(_mm2(jac, meas_cov), jnp.swapaxes(jac, -1, -2))
 
     # --- select per (landmark) branch: update / init / keep
     seen = state.lm_seen                                         # (P, L)
@@ -230,14 +252,14 @@ def _landmark_likelihoods(state: EkfSlamState, poses: jnp.ndarray,
         jnp.stack([-dy / r2, dx / r2], -1),
     ], axis=-2)                                                  # (P, L, 2, 2)
     pcov = state.lm_cov
-    hp = h @ pcov
-    s_mat = hp @ jnp.swapaxes(h, -1, -2)
+    hp = _mm2(h, pcov)
+    s_mat = _mm2(hp, jnp.swapaxes(h, -1, -2))
     s_mat = s_mat + jnp.asarray([[r_noise2, 0.0], [0.0, b_noise2]])
     s_inv, s_det = _inv2(s_mat)
-    k_gain = jnp.swapaxes(hp, -1, -2) @ s_inv
-    upd_mean = state.lm_mean + (k_gain @ nu[..., None])[..., 0]
-    upd_cov = pcov - k_gain @ hp
-    loglik = -0.5 * ((nu[..., None, :] @ s_inv @ nu[..., None])[..., 0, 0]
+    k_gain = _mm2(jnp.swapaxes(hp, -1, -2), s_inv)
+    upd_mean = state.lm_mean + _mv2(k_gain, nu)
+    upd_cov = pcov - _mm2(k_gain, hp)
+    loglik = -0.5 * (jnp.sum(nu * _mv2(s_inv, nu), -1)
                      + jnp.log(jnp.maximum(s_det, 1e-12))
                      + 2.0 * jnp.log(2.0 * jnp.pi))              # (P, L)
 
@@ -253,7 +275,7 @@ def _landmark_likelihoods(state: EkfSlamState, poses: jnp.ndarray,
         jnp.stack([r_noise2, jnp.float32(0.0)]),
         jnp.stack([jnp.float32(0.0), b_noise2]),
     ])                                                           # (2, 2)
-    init_cov = jac @ meas_cov @ jnp.swapaxes(jac, -1, -2)        # (P, 2, 2)
+    init_cov = _mm2(_mm2(jac, meas_cov), jnp.swapaxes(jac, -1, -2))  # (P,2,2)
     return loglik, upd_mean, upd_cov, init_mean, init_cov
 
 
@@ -326,14 +348,36 @@ def ekf_slam_step_ml(state: EkfSlamState, obs: jnp.ndarray, obs_valid: jnp.ndarr
         h_b = jnp.stack([dyj / r2j, -dxj / r2j, jnp.ones_like(rj)], -1)
         w_r = take.astype(jnp.float32) * r_w_m[:, :, 0]          # (M, P)
         w_b = take.astype(jnp.float32) * b_w
-        hth = (jnp.einsum("mp,mpi,mpj->pij", w_r, h_r, h_r)
-               + jnp.einsum("mp,mpi,mpj->pij", w_b, h_b, h_b))
-        htn = (jnp.einsum("mp,mp,mpi->pi", w_r, nrj, h_r)
-               + jnp.einsum("mp,mp,mpi->pi", w_b, nbj, h_b))
-        # damped solve: (H^T W H + lambda I) delta = H^T W nu
+        # Broadcast-multiply-sum, NOT einsum/dot: f32 here is load-bearing.
+        # On TPU a dot_general runs the MXU's default-bf16 path, whose
+        # rounding of the ~1e4-scale weights biases the mm-scale GN delta;
+        # the bias compounds over a 1000-step tour into total divergence
+        # (observed on hardware: ATE 1.2 m f32 -> 16-60 m bf16). Elementwise
+        # VPU ops keep full f32 at identical FLOP count (M*P*9 ~ 3e5).
+        hth = (jnp.sum(w_r[..., None, None] * h_r[..., :, None]
+                       * h_r[..., None, :], axis=0)
+               + jnp.sum(w_b[..., None, None] * h_b[..., :, None]
+                         * h_b[..., None, :], axis=0))           # (P, 3, 3)
+        htn = (jnp.sum((w_r * nrj)[..., None] * h_r, axis=0)
+               + jnp.sum((w_b * nbj)[..., None] * h_b, axis=0))  # (P, 3)
+        # damped solve (H^T W H + lambda I) delta = H^T W nu via the explicit
+        # symmetric-3x3 adjugate — elementwise f32, no LU/dot lowering.
         damp = jnp.asarray([100.0, 100.0, 400.0], jnp.float32)  # prior stiffness
         a = hth + jnp.diag(damp)[None]
-        delta = jnp.linalg.solve(a, htn[..., None])[..., 0]      # (P, 3)
+        a00, a01, a02 = a[:, 0, 0], a[:, 0, 1], a[:, 0, 2]
+        a11, a12, a22 = a[:, 1, 1], a[:, 1, 2], a[:, 2, 2]
+        c00 = a11 * a22 - a12 * a12
+        c01 = a02 * a12 - a01 * a22
+        c02 = a01 * a12 - a02 * a11
+        c11 = a00 * a22 - a02 * a02
+        c12 = a01 * a02 - a00 * a12
+        c22 = a00 * a11 - a01 * a01
+        inv_det = 1.0 / (a00 * c00 + a01 * c01 + a02 * c02)  # damp => det >> 0
+        b0, b1, b2 = htn[:, 0], htn[:, 1], htn[:, 2]
+        delta = jnp.stack([
+            (c00 * b0 + c01 * b1 + c02 * b2) * inv_det,
+            (c01 * b0 + c11 * b1 + c12 * b2) * inv_det,
+            (c02 * b0 + c12 * b1 + c22 * b2) * inv_det], axis=-1)  # (P, 3)
         cap = jnp.asarray([0.05, 0.05, 0.02], jnp.float32)
         return poses_in + jnp.clip(delta, -cap, cap)
 
@@ -410,6 +454,11 @@ def _run_ml_jit(obs_all, valid_all, cfg: EkfSlamConfig, seed):
         z, v = inp
         return ekf_slam_step_ml(st, z, v, cfg)
 
+    # NOTE: all linear algebra inside the step is explicit elementwise VPU
+    # math (_mm2/_mv2/adjugate solve) — no dot_general anywhere. A
+    # jax.default_matmul_precision("float32") wrapper would be the idiomatic
+    # fix, but its f32 dot path crashes this backend's TPU worker (axon
+    # tunnel); the elementwise form is equally exact and backend-proof.
     final, path = jax.lax.scan(body, state, (obs_all, valid_all))
     return jnp.concatenate([jnp.zeros((1, 3), jnp.float32), path]), final
 
