@@ -41,6 +41,14 @@ class EkfSlamConfig(NamedTuple):
     new_lm_logp0: float = -7.0   # log pseudo-likelihood of a new landmark:
     #                              a detection whose best per-particle match
     #                              scores below this initializes a new slot
+    use_scan_odometry: bool = False  # motion prior from the batched
+    #                              scan-to-scan matcher pre-pass
+    #                              (ops/scan_odometry.pairwise_odometry)
+    #                              instead of per-particle constant velocity.
+    #                              The dataset is ranges-only, so this is the
+    #                              only odometry available; it bounds drift
+    #                              through landmark-poor stretches where the
+    #                              filter is otherwise under-constrained.
     r_noise_per_m: float = 0.0   # range-proportional measurement std growth:
     #                              a corner intersection is fitted from ~k
     #                              beams whose spacing grows linearly with
@@ -63,7 +71,8 @@ def long_tour_config(n_particles: int = 1024) -> EkfSlamConfig:
     return EkfSlamConfig(
         n_particles=n_particles, max_landmarks=64, r_noise=0.02,
         r_noise_per_m=0.015, b_noise=0.008, odo_xy_noise=0.012,
-        odo_th_noise=0.02, new_lm_logp0=-11.0, resample_threshold=0.25)
+        odo_th_noise=0.02, new_lm_logp0=-11.0, resample_threshold=0.25,
+        use_scan_odometry=True)
 
 
 LONG_TOUR_MAX_RANGE = 12.0  # detection gating range pairing with the config
@@ -280,14 +289,16 @@ def _landmark_likelihoods(state: EkfSlamState, poses: jnp.ndarray,
 
 
 def ekf_slam_step_ml(state: EkfSlamState, obs: jnp.ndarray, obs_valid: jnp.ndarray,
-                     cfg: EkfSlamConfig) -> tuple[EkfSlamState, jnp.ndarray]:
+                     cfg: EkfSlamConfig,
+                     odo: jnp.ndarray | None = None) -> tuple[EkfSlamState, jnp.ndarray]:
     """FastSLAM 1.0 step with per-particle MAXIMUM-LIKELIHOOD association.
 
     The scan-driven path (BASELINE config 2 made real): obs (M, 2) are
     range/bearing detections from ``ops/landmarks.extract_landmarks`` —
-    unordered, with misses and spurious hits. Particles propagate by their
-    own constant velocity (no external odometry; the dataset is ranges-only,
-    like the reference's CSV); each detection is processed sequentially
+    unordered, with misses and spurious hits. Particles propagate by scan-
+    to-scan odometry (``odo`` (3,), reference-convention delta from
+    ops/scan_odometry — required when cfg.use_scan_odometry) or by their own
+    constant velocity; each detection is processed sequentially
     (``lax.scan`` over M <= 16), choosing per particle the landmark slot with
     the highest likelihood, or initializing a fresh slot when the best score
     falls below ``cfg.new_lm_logp0`` (the classic new-feature pseudo-
@@ -296,11 +307,15 @@ def ekf_slam_step_ml(state: EkfSlamState, obs: jnp.ndarray, obs_valid: jnp.ndarr
     p, l = cfg.n_particles, cfg.max_landmarks
     key, k_noise, k_resample = jax.random.split(state.rng, 3)
 
-    # --- propagate: per-particle constant velocity + proposal noise
-    vel = state.poses - state.prev_poses
+    # --- propagate + proposal noise
     noise = jax.random.normal(k_noise, (p, 3)) * jnp.asarray(
         [cfg.odo_xy_noise, cfg.odo_xy_noise, cfg.odo_th_noise], jnp.float32)
-    poses = state.poses + vel + noise
+    if cfg.use_scan_odometry:
+        # delta applied in each particle's own frame (reference convention)
+        poses = _compose_ref(state.poses, odo[None, :] + noise)
+    else:
+        vel = state.poses - state.prev_poses
+        poses = state.poses + vel + noise
 
     log_p0 = jnp.float32(cfg.new_lm_logp0)
     det_rows = jnp.concatenate(
@@ -447,19 +462,19 @@ def ekf_slam_step_ml(state: EkfSlamState, obs: jnp.ndarray, obs_valid: jnp.ndarr
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _run_ml_jit(obs_all, valid_all, cfg: EkfSlamConfig, seed):
+def _run_ml_jit(obs_all, valid_all, odo_all, cfg: EkfSlamConfig, seed):
     state = init_ekf_slam(cfg, seed)
 
     def body(st, inp):
-        z, v = inp
-        return ekf_slam_step_ml(st, z, v, cfg)
+        z, v, o = inp
+        return ekf_slam_step_ml(st, z, v, cfg, odo=o)
 
     # NOTE: all linear algebra inside the step is explicit elementwise VPU
     # math (_mm2/_mv2/adjugate solve) — no dot_general anywhere. A
     # jax.default_matmul_precision("float32") wrapper would be the idiomatic
     # fix, but its f32 dot path crashes this backend's TPU worker (axon
     # tunnel); the elementwise form is equally exact and backend-proof.
-    final, path = jax.lax.scan(body, state, (obs_all, valid_all))
+    final, path = jax.lax.scan(body, state, (obs_all, valid_all, odo_all))
     return jnp.concatenate([jnp.zeros((1, 3), jnp.float32), path]), final
 
 
@@ -495,7 +510,16 @@ def run_ekf_slam_scan(ranges_all: np.ndarray, cfg: EkfSlamConfig,
         det = _jax.jit(_jax.vmap(fn))(jnp.asarray(ranges_all, jnp.float32))
     # obs[t] pairs with the pose after step t-1 -> feed detections of scans
     # 1..T-1 (scan 0 seeds nothing; pose0 is the origin by convention)
-    return _run_ml_jit(det.rb[1:], det.valid[1:], cfg, seed)
+    if cfg.use_scan_odometry:
+        from lidar_slam_tpu.ops.scan_odometry import pairwise_odometry
+
+        # batched pre-pass: all T-1 pair matches in parallel before the
+        # sequential filter; odo row t-1 pairs with obs row t-1 = scan t
+        odo_all = pairwise_odometry(
+            jnp.asarray(ranges_all, jnp.float32), angles, lidar_cfg)
+    else:
+        odo_all = jnp.zeros((det.rb.shape[0] - 1, 3), jnp.float32)
+    return _run_ml_jit(det.rb[1:], det.valid[1:], odo_all, cfg, seed)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -107,8 +107,9 @@ def test_ml_association_robust_to_miss_and_spurious():
             val[t, k] = True
     cfg = ekf_slam.EkfSlamConfig(n_particles=256, max_landmarks=32,
                                  new_lm_logp0=-6.0)
+    odo = jnp.zeros((t_ - 1, 3), jnp.float32)      # constant-velocity mode
     path, final = ekf_slam._run_ml_jit(jnp.asarray(rb[1:]),
-                                       jnp.asarray(val[1:]), cfg, 0)
+                                       jnp.asarray(val[1:]), odo, cfg, 0)
     err = ate(np.asarray(path), gt)
     assert err < 0.25, f"ML association lost track: {err:.3f}"
 
