@@ -10,15 +10,32 @@ here so it cannot silently rot (VERDICT r1 "what's missing" #2):
 - ``vs_local_oracle``: apples-to-apples baseline — the clean-room C++ oracle
   with the reference's naive EDT timed on THIS host;
 - ``secondary``: fidelity mode, PF-10240, scan-driven EKF-FastSLAM, graph
-  SLAM with loop closures, and the building-scale hard workload (60x45 m,
-  3800 scans — io/simulate.building_world) with its oracle-parity check;
+  SLAM with loop closures, the building-scale hard workload (60x45 m, 3800
+  scans) in fidelity/wide/PF/graph modes, streaming per-scan latency
+  (p50/p99 vs the reference's 10 Hz sensor budget, dissertation p.23 §8.2),
+  and the virtual-mesh scaling sweep;
 - ``kernels``: per-kernel ms / FLOPs / bytes / fraction-of-roofline for the
   Pallas EDT (vs the reference's 0.4 ms per 400² HLS kernel, dissertation
   p.46 fig. 14) and the correlation-volume kernel, with a compiled-on-TPU
-  equality check against the jnp oracles (VERDICT r1 #4).
+  equality check against the jnp oracles.
 
 Prints exactly ONE JSON line:
   {"metric": ..., "value": N, "unit": "scans/s", "vs_baseline": N, ...}
+
+Indestructibility (round 4; BENCH_r03 was lost to a wedged axon tunnel that
+hung the first trivial dispatch — rc 124, parsed null):
+- the PARENT process never imports jax. It probes the TPU in a subprocess
+  with a hard timeout; if the probe hangs, every stage runs on CPU
+  (``JAX_PLATFORMS=cpu``) with reduced scan counts, clearly labeled.
+- every stage runs in its OWN subprocess with a hard timeout. A dispatch
+  wedged inside libtpu cannot be interrupted by signals in-process (the
+  round-3 failure mode); a subprocess can always be killed. Two consecutive
+  stage timeouts flip the remaining stages to CPU fallback.
+- a watchdog thread + SIGTERM/SIGINT handlers in the parent print the
+  partial result dict before the driver's deadline, so the artifact degrades
+  instead of zeroing.
+- the persistent XLA compile cache (``.jax_cache``) makes the per-stage
+  subprocess restarts cheap after the first run.
 
 Measurement methodology (round 3; the round-1/2 numbers were poisoned by
 the remote-attached "axon" TPU path and are NOT comparable):
@@ -29,17 +46,18 @@ the remote-attached "axon" TPU path and are NOT comparable):
 - each dispatch carries a ~140 ms round-trip/transfer floor — model runs
   subtract a measured trivial-program floor and report the median of 3
   runs; kernels use the slope of a chained lax.scan between two lengths.
-
-Stages run inside a global deadline (the round driver allows ~590 s); each
-stage is individually fenced so a slow compile degrades the artifact instead
-of zeroing it.
 """
 
 from __future__ import annotations
 
+import argparse
 import dataclasses
 import json
+import os
+import signal
+import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
@@ -54,14 +72,22 @@ PEAK_HBM_BW = 819e9        # bytes/s
 _T0 = time.time()
 _DEADLINE = _T0 + 520.0    # leave ~70 s of the driver's 590 s for slack
 
+# Child processes run with reduced scan counts when the parent fell back to
+# CPU (a full PF-1024 museum-1000 run is a TPU workload, not a CPU one).
+CPU_FB = os.environ.get("BENCH_CPU_FALLBACK") == "1"
+
 
 def _left() -> float:
     return _DEADLINE - time.time()
 
 
 def _log(msg: str) -> None:
-    print(f"[{time.time() - _T0:6.1f}s] {msg}", file=sys.stderr)
+    print(f"[{time.time() - _T0:6.1f}s] {msg}", file=sys.stderr, flush=True)
 
+
+# ===========================================================================
+# Child-side measurement helpers
+# ===========================================================================
 
 _FLOORS: dict = {}
 
@@ -174,7 +200,60 @@ def _kernel_ms(fn, make_args, l1: int = 64, l2: int = 4096,
     return max(slope * 1e3, 0.0)
 
 
-def bench_kernels(out: dict) -> None:
+def _museum():
+    from lidar_slam_tpu.io import dataset
+
+    n = 200 if CPU_FB else 1000
+    ranges, gt, _ = dataset.ensure_dataset(n_scans=1000, seed=0)
+    return ranges[:n], gt[:n], n
+
+
+def _building():
+    from lidar_slam_tpu.io import dataset, simulate
+
+    n = 400 if CPU_FB else simulate.BUILDING_N_SCANS
+    ranges, gt, _ = dataset.ensure_dataset(
+        n_scans=simulate.BUILDING_N_SCANS, world="building")
+    return ranges[:n], gt[:n], n
+
+
+# ===========================================================================
+# Stages (each runs in its own subprocess: `python bench.py --stage NAME`)
+# ===========================================================================
+
+def stage_headline() -> dict:
+    """PF-1024 on museum-1000: the BASELINE.json headline configuration."""
+    from lidar_slam_tpu.config import DEFAULT_CONFIG, ParticleConfig
+    from lidar_slam_tpu.models import fastslam
+
+    ranges, gt, n = _museum()
+    floor = _dispatch_floor(ranges)
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG, particles=ParticleConfig(n_particles=1024))
+    sps, err = _timed_run(lambda eps: fastslam.run_pf(ranges + eps, cfg),
+                          "pf-1024", gt, n, floor)
+    note = " [CPU fallback, 200 scans]" if CPU_FB else ""
+    return {"headline": {
+        "metric": f"scans/sec/chip, 1024 particles, museum-{n} "
+                  f"(ATE {err:.3f} m){note}",
+        "value": round(sps, 2), "ate": round(err, 4)}}
+
+
+def stage_oracle() -> dict:
+    """Clean-room C++ oracle with the reference's naive EDT, on THIS host."""
+    from lidar_slam_tpu import native
+    from lidar_slam_tpu.io import dataset
+
+    ranges, _, _ = dataset.ensure_dataset(n_scans=1000, seed=0)
+    n_o = 200
+    t0 = time.time()
+    native.run_oracle(ranges[:n_o], use_naive_edt=True)
+    sps = n_o / (time.time() - t0)
+    _log(f"local naive-EDT oracle: {sps:.1f} scans/s")
+    return {"secondary": {"oracle_naive_local": {"scans_per_sec": round(sps, 2)}}}
+
+
+def stage_kernels() -> dict:
     """Per-kernel ms/FLOPs/bytes/roofline + compiled equality vs jnp oracle."""
     import jax
     import jax.numpy as jnp
@@ -182,6 +261,7 @@ def bench_kernels(out: dict) -> None:
     from lidar_slam_tpu.ops import correlative, edt
     from lidar_slam_tpu.utils.profiling import cost_analysis
 
+    out: dict = {}
     on_tpu = jax.default_backend() == "tpu"
     rng = np.random.default_rng(0)
     occ = jnp.asarray(rng.random((400, 400)) < 0.02)
@@ -212,8 +292,7 @@ def bench_kernels(out: dict) -> None:
         "exact_vs_oracle": edt_exact,
         "vs_ref_hls_0.4ms": round(REF_HLS_EDT_MS_400 / ms, 1) if ms > 0 else None,
     }
-    _log(f"edt_400: {ms:.3f} ms  exact={edt_exact}  "
-         f"(ref HLS 0.4 ms -> {REF_HLS_EDT_MS_400 / ms:.1f}x)")
+    _log(f"edt_400: {ms:.3f} ms  exact={edt_exact}")
 
     # correlation volume on representative PF shapes
     metric = jax.jit(edt.edt_clamped)(occ)
@@ -249,218 +328,454 @@ def bench_kernels(out: dict) -> None:
         "roofline_frac": round(sol_s / (ms_v * 1e-3), 4) if ms_v > 0 else None,
     }
     _log(f"volume: {ms_v:.3f} ms")
+    return {"kernels": out}
+
+
+def stage_fidelity() -> dict:
+    from lidar_slam_tpu import native
+    from lidar_slam_tpu.config import DEFAULT_CONFIG
+    from lidar_slam_tpu.models import scan_matcher
+    from lidar_slam_tpu.utils.metrics import max_abs_err
+
+    ranges, gt, n = _museum()
+    floor = _dispatch_floor(ranges)
+    f_sps, f_err = _timed_run(
+        lambda eps: scan_matcher.run_scan(ranges + eps, DEFAULT_CONFIG),
+        "fidelity-museum", gt, n, floor)
+    cpath, _ = native.run_oracle(ranges)
+    jpath, _ = scan_matcher.run_scan(ranges, DEFAULT_CONFIG)
+    return {"secondary": {"fidelity_museum1000": {
+        "scans_per_sec": round(f_sps, 1), "ate": round(f_err, 4),
+        "n_scans": n,
+        "bit_exact_vs_oracle": bool(
+            max_abs_err(np.asarray(jpath), cpath) == 0.0)}}}
+
+
+def stage_pf10240() -> dict:
+    from lidar_slam_tpu.config import DEFAULT_CONFIG, ParticleConfig
+    from lidar_slam_tpu.models import fastslam
+
+    ranges, gt, n = _museum()
+    floor = _dispatch_floor(ranges)
+    big = dataclasses.replace(
+        DEFAULT_CONFIG, particles=ParticleConfig(n_particles=10240))
+    p_sps, p_err = _timed_run(lambda eps: fastslam.run_pf(ranges + eps, big),
+                              "pf-10240", gt, n, floor)
+    return {"secondary": {"pf10240_museum1000": {
+        "scans_per_sec": round(p_sps, 1), "ate": round(p_err, 4)}}}
+
+
+def stage_building() -> dict:
+    """Building-3800 hard workload: parity, wide (solved), and PF configs."""
+    from lidar_slam_tpu import native
+    from lidar_slam_tpu.config import BUILDING_CONFIG, BUILDING_WIDE_CONFIG
+    from lidar_slam_tpu.models import fastslam, scan_matcher
+    from lidar_slam_tpu.utils.metrics import max_abs_err
+
+    b_ranges, b_gt, n_b = _building()
+    b_floor = _dispatch_floor(b_ranges)
+    secondary: dict = {}
+    # (a) parity config (+-1 window): diverges exactly like the C oracle
+    f_sps, f_err = _timed_run(
+        lambda eps: scan_matcher.run_scan(b_ranges + eps, BUILDING_CONFIG),
+        "fidelity-building", b_gt, n_b, b_floor)
+    cpath, _ = native.run_oracle_cfg(b_ranges, BUILDING_CONFIG)
+    jpath, _ = scan_matcher.run_scan(b_ranges, BUILDING_CONFIG)
+    secondary["fidelity_building3800"] = {
+        "scans_per_sec": round(f_sps, 1), "ate": round(f_err, 4),
+        "n_scans": n_b,
+        "bit_exact_vs_oracle": bool(
+            max_abs_err(np.asarray(jpath), cpath) == 0.0)}
+    # (b) solved config (+-2 correlative window): the accuracy headline
+    # on the hard workload the reference's fixed window cannot track
+    w_sps, w_err = _timed_run(
+        lambda eps: scan_matcher.run_scan(b_ranges + eps,
+                                          BUILDING_WIDE_CONFIG),
+        "wide-building", b_gt, n_b, b_floor)
+    secondary["building3800_wide"] = {
+        "scans_per_sec": round(w_sps, 1), "ate": round(w_err, 4)}
+    bcfg = dataclasses.replace(
+        BUILDING_CONFIG, particles=dataclasses.replace(
+            BUILDING_CONFIG.particles, n_particles=1024))
+    p_sps, p_err = _timed_run(
+        lambda eps: fastslam.run_pf(b_ranges + eps, bcfg),
+        "pf1024-building", b_gt, n_b, b_floor)
+    secondary["pf1024_building3800"] = {
+        "scans_per_sec": round(p_sps, 1), "ate": round(p_err, 4)}
+    return {"secondary": secondary}
+
+
+def stage_building_graph() -> dict:
+    """Graph backend on building-3800: the loop-closure recovery headline.
+
+    The capability the reference lacks entirely (SURVEY §0: no loop closure,
+    no pose graph): ambiguity-gated closures (graph_slam.LoopClosureConfig
+    corridor-aliasing gates) on the 60x45 m tour, target ATE < 0.2 m at
+    >= the C baseline's 3.95 scans/s."""
+    from lidar_slam_tpu.config import BUILDING_WIDE_CONFIG
+    from lidar_slam_tpu.models.graph_slam import GraphSlam
+    from lidar_slam_tpu.utils.metrics import ate
+
+    b_ranges, b_gt, n_b = _building()
+    gs = GraphSlam(BUILDING_WIDE_CONFIG)
+    t0 = time.time()
+    path, _ = gs.run(b_ranges)
+    dt = time.time() - t0
+    err = float(ate(np.asarray(path), b_gt))
+    _log(f"building-graph: {(n_b - 1) / dt:.1f} scans/s wall (incl. compile), "
+         f"ATE {err:.4f} m, {len(gs.closures)} closures")
+    res = {"scans_per_sec_incl_compile": round((n_b - 1) / dt, 1),
+           "ate": round(err, 4), "closures": len(gs.closures), "n_scans": n_b}
+    # warm re-run if the budget allows: the honest steady-state number
+    if _left() > dt + 15:
+        gs = GraphSlam(BUILDING_WIDE_CONFIG)
+        t0 = time.time()
+        path, _ = gs.run(b_ranges + np.float32(1e-5))
+        dt = time.time() - t0
+        res["scans_per_sec"] = round((n_b - 1) / dt, 1)
+        res["ate"] = round(float(ate(np.asarray(path), b_gt)), 4)
+        res["closures"] = len(gs.closures)
+        _log(f"building-graph warm: {(n_b - 1) / dt:.1f} scans/s, "
+             f"ATE {res['ate']} m")
+    return {"secondary": {"building3800_graph": res}}
+
+
+def stage_ekf() -> dict:
+    from lidar_slam_tpu.config import DEFAULT_CONFIG
+    from lidar_slam_tpu.models import ekf_slam
+
+    ranges, gt, n = _museum()
+    floor = _dispatch_floor(ranges)
+    ecfg = ekf_slam.long_tour_config(1024)
+    e_sps, e_err = _timed_run(
+        lambda eps: ekf_slam.run_ekf_slam_scan(
+            ranges + eps, ecfg, lidar_cfg=DEFAULT_CONFIG.lidar, seed=0,
+            max_range=ekf_slam.LONG_TOUR_MAX_RANGE),
+        "ekf-1024", gt, n, floor)
+    return {"secondary": {"ekf1024_museum1000": {
+        "scans_per_sec": round(e_sps, 1), "ate": round(e_err, 4)}}}
+
+
+def stage_graph() -> dict:
+    from lidar_slam_tpu.config import DEFAULT_CONFIG
+    from lidar_slam_tpu.io import simulate
+    from lidar_slam_tpu.models.graph_slam import GraphSlam
+    from lidar_slam_tpu.utils.metrics import ate
+
+    n = 300 if CPU_FB else 700
+    g_ranges, g_gt = simulate.generate_dataset(
+        n_scans=n, seed=0, waypoints=simulate.LOOP_WAYPOINTS)
+    gs = GraphSlam(DEFAULT_CONFIG)
+    t0 = time.time()
+    gs.run(g_ranges)                      # warm (compiles)
+    _log(f"graph-{n}: warm run {time.time() - t0:.1f}s")
+    gs = GraphSlam(DEFAULT_CONFIG)
+    t0 = time.time()
+    path, _ = gs.run(g_ranges + np.float32(1e-5))
+    dt = time.time() - t0
+    _log(f"graph-{n}: {(n - 1) / dt:.1f} scans/s wall, "
+         f"{len(gs.closures)} closures")
+    return {"secondary": {"graph_700loop": {
+        "scans_per_sec": round((n - 1) / dt, 1),
+        "ate": round(float(ate(np.asarray(path), g_gt)), 4),
+        "closures": len(gs.closures), "n_scans": n}}}
+
+
+def stage_streaming() -> dict:
+    """Per-scan latency of the streaming paths vs the 10 Hz sensor budget.
+
+    The reference's operating point is a 10 Hz lidar (dissertation p.23
+    §8.2) and its edge variant measures end-to-end wall time per scan
+    (esp32_edge.c main loop). Two paths measured here, p50/p99 per scan:
+    - run_host_loop: host-driven jitted step (device step + pose fetch);
+    - streaming HTTP: ScanServer -> prefetching client -> jitted step (the
+      full edge-pipeline analog, network included).
+    On the axon tunnel each dispatch carries a ~140 ms round-trip floor, so
+    this is the honest real-time picture for THIS deployment, not a defect
+    of the program (single-chip local attach removes the floor)."""
+    import jax.numpy as jnp
+
+    from lidar_slam_tpu.config import DEFAULT_CONFIG
+    from lidar_slam_tpu.io import server as srv
+    from lidar_slam_tpu.models import scan_matcher
+
+    ranges, _, _ = _museum()
+    n = min(200, ranges.shape[0])
+
+    def lat_stats(lats_s: list) -> dict:
+        a = np.asarray(lats_s) * 1e3
+        return {"p50_ms": round(float(np.percentile(a, 50)), 1),
+                "p99_ms": round(float(np.percentile(a, 99)), 1),
+                "mean_ms": round(float(a.mean()), 1),
+                "realtime_10hz_frac": round(float((a <= 100.0).mean()), 3)}
+
+    # host-loop path
+    step = scan_matcher.make_step_fn(DEFAULT_CONFIG)
+    state = scan_matcher.init_state(jnp.asarray(ranges[0]), DEFAULT_CONFIG)
+    state, pose = step(state, jnp.asarray(ranges[1]))  # compile
+    np.asarray(pose)
+    lats = []
+    for t in range(2, n):
+        t0 = time.perf_counter()
+        state, pose = step(state, jnp.asarray(ranges[t]))
+        np.asarray(pose)                 # force the host fetch (honest e2e)
+        lats.append(time.perf_counter() - t0)
+    host = lat_stats(lats)
+    _log(f"host-loop latency: p50 {host['p50_ms']} ms  p99 {host['p99_ms']} ms")
+
+    # streaming HTTP path (server + prefetching client + jitted step)
+    server = srv.ScanServer(ranges[:n]).start()
+    try:
+        stream = srv.scan_stream(server.url, n)
+        state = scan_matcher.init_state(jnp.asarray(next(stream)),
+                                        DEFAULT_CONFIG)
+        lats = []
+        first = True
+        for r in stream:
+            t0 = time.perf_counter()
+            state, pose = step(state, jnp.asarray(r))
+            np.asarray(pose)
+            if first:
+                first = False            # skip the compile-carrying step
+            else:
+                lats.append(time.perf_counter() - t0)
+    finally:
+        server.stop()
+    http = lat_stats(lats)
+    _log(f"streaming latency: p50 {http['p50_ms']} ms  p99 {http['p99_ms']} ms")
+    return {"secondary": {"streaming_latency": {
+        "budget_ms": 100.0, "host_loop": host, "http_stream": http,
+        "n_scans": n}}}
+
+
+def stage_scaling() -> dict:
+    """Shard-count sweep of the sharded PF step (BASELINE config 4).
+
+    Real multi-chip hardware is unavailable in this container (one v5e
+    chip behind a tunnel), so the sweep runs on an 8-virtual-device CPU
+    mesh (the parent launches this stage with JAX_PLATFORMS=cpu and
+    --xla_force_host_platform_device_count=8): it validates that the
+    pjit/shard_map program compiles AND executes at 1/2/4/8 particle
+    shards. Labeled as program validation — the real single-chip scans/s is
+    the headline; ICI scaling efficiency needs a real slice."""
+    from lidar_slam_tpu.io import dataset
+    from lidar_slam_tpu.parallel import multihost
+
+    r, _, _ = dataset.ensure_dataset(n_scans=40, seed=0)
+    rep = multihost.scaling_report(r, n_particles=512,
+                                   shard_counts=(1, 2, 4, 8), n_scans=24)
+    rep = {str(k): round(v, 2) for k, v in rep.items()}
+    _log(f"scaling (virtual mesh): {rep}")
+    return {"secondary": {"scaling_virtual_mesh": {
+        "note": "8-virtual-device CPU mesh program validation, "
+                "scans/s per shard count (not ICI scaling)",
+        "scans_per_sec": rep}}}
+
+
+STAGES = {
+    "headline": stage_headline,
+    "oracle": stage_oracle,
+    "kernels": stage_kernels,
+    "fidelity": stage_fidelity,
+    "pf10240": stage_pf10240,
+    "building": stage_building,
+    "building_graph": stage_building_graph,
+    "ekf": stage_ekf,
+    "graph": stage_graph,
+    "streaming": stage_streaming,
+    "scaling": stage_scaling,
+}
+
+
+def run_child(name: str) -> None:
+    import jax
+
+    # persistent compile cache: per-stage subprocesses and repeated bench
+    # invocations skip recompiles of the whole-run scan programs
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    res = STAGES[name]()
+    print("STAGE_RESULT=" + json.dumps(res), flush=True)
+
+
+# ===========================================================================
+# Parent orchestrator (never imports jax; cannot be wedged by the device)
+# ===========================================================================
+
+# (stage, subprocess timeout s, skip unless at least this much budget left)
+PLAN = [
+    ("headline", 210, 60),
+    ("oracle", 60, 25),
+    ("ekf", 110, 45),
+    ("kernels", 120, 50),
+    ("building_graph", 170, 70),
+    ("fidelity", 110, 45),
+    ("building", 190, 80),
+    ("streaming", 90, 40),
+    ("pf10240", 90, 40),
+    ("graph", 130, 60),
+    ("scaling", 90, 45),
+]
+
+CPU_ONLY_STAGES = {"scaling"}   # always on the virtual CPU mesh
+NO_JAX_STAGES = {"oracle"}      # pure native C++, cannot wedge
+
+
+def _probe_tpu(env: dict, timeout: float = 75.0) -> tuple:
+    """Can the device complete two trivial dispatches? (subprocess, killable)."""
+    code = (
+        "import time, jax, jax.numpy as jnp\n"
+        "t0=time.time()\n"
+        "f=jax.jit(lambda a: jnp.sum(a)*2)\n"
+        "x=float(f(jnp.ones(1000))); t1=time.time()-t0\n"
+        "t0=time.time(); x=float(f(jnp.ones(1000)+1e-6)); t2=time.time()-t0\n"
+        "print(f'PROBE_OK {t1:.2f} {t2:.3f} {jax.default_backend()}')\n")
+    try:
+        out = subprocess.run([sys.executable, "-c", code], env=env,
+                             cwd=os.path.dirname(os.path.abspath(__file__)),
+                             capture_output=True, text=True, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        return False, f"probe hung >{timeout:.0f}s"
+    for ln in out.stdout.splitlines():
+        if ln.startswith("PROBE_OK"):
+            return True, ln.strip()
+    return False, f"probe rc={out.returncode}: {out.stderr[-200:]}"
+
+
+def _cpu_env(env: dict) -> dict:
+    env = dict(env)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # must not claim the TPU
+    env["JAX_PLATFORMS"] = "cpu"
+    env["BENCH_CPU_FALLBACK"] = "1"
+    return env
 
 
 def main() -> None:
-    import jax
-
-    # persistent compile cache: repeated bench invocations skip the ~2 min
-    # XLA compile of the whole-run scan program
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-
-    from lidar_slam_tpu import native
-    from lidar_slam_tpu.config import (BUILDING_CONFIG, BUILDING_WIDE_CONFIG,
-                                       DEFAULT_CONFIG, ParticleConfig)
-    from lidar_slam_tpu.io import dataset, simulate
-    from lidar_slam_tpu.models import fastslam, scan_matcher
-    from lidar_slam_tpu.utils.metrics import ate, max_abs_err
-
-    n_scans = 1000
-    ranges, gt, _ = dataset.ensure_dataset(n_scans=n_scans, seed=0)
-    _log(f"devices: {jax.devices()}")
-
-    secondary: dict = {}
-    kernels: dict = {}
-
-    # ---- headline: PF-1024, museum-1000 --------------------------------------
-    floor = _dispatch_floor(ranges)
-    cfg = dataclasses.replace(
-        DEFAULT_CONFIG, particles=ParticleConfig(n_particles=1024))
-    try:
-        sps, err = _timed_run(lambda eps: fastslam.run_pf(ranges + eps, cfg),
-                              "pf-1024", gt, n_scans, floor)
-        metric = (f"scans/sec/chip, 1024 particles, museum-1000 "
-                  f"(ATE {err:.3f} m)")
-    except Exception as e:  # compile-helper stalls etc.: report SOMETHING
-        _log(f"particle filter bench failed ({e!r}); falling back to fidelity")
-        sps, err = _timed_run(
-            lambda eps: scan_matcher.run_scan(ranges + eps, DEFAULT_CONFIG),
-            "fidelity", gt, n_scans, floor)
-        metric = f"scans/sec/chip, fidelity mode, museum-1000 (ATE {err:.3f} m)"
-
-    # ---- local apples-to-apples baseline: naive-EDT C++ oracle, this host ----
-    vs_local = None
-    try:
-        n_o = 200
-        t0 = time.time()
-        native.run_oracle(ranges[:n_o], use_naive_edt=True)
-        oracle_sps = n_o / (time.time() - t0)
-        secondary["oracle_naive_local"] = {"scans_per_sec": round(oracle_sps, 2)}
-        vs_local = round(sps / oracle_sps, 1)
-        _log(f"local naive-EDT oracle: {oracle_sps:.1f} scans/s")
-    except Exception as e:
-        _log(f"local oracle baseline failed: {e!r}")
-
-    # ---- kernel-level numbers -------------------------------------------------
-    if _left() > 120:
-        try:
-            bench_kernels(kernels)
-        except Exception as e:
-            _log(f"kernel bench failed: {e!r}")
-
-    # ---- secondary configs, in priority order, deadline-fenced ---------------
-    def stage(name, need_s, fn):
-        if _left() < need_s:
-            _log(f"skip {name} (deadline: {_left():.0f}s left)")
-            return
-        try:
-            fn()
-        except Exception as e:
-            _log(f"{name} failed: {e!r}")
-
-    def s_fidelity():
-        f_sps, f_err = _timed_run(
-            lambda eps: scan_matcher.run_scan(ranges + eps, DEFAULT_CONFIG),
-            "fidelity-museum", gt, n_scans, floor)
-        cpath, _ = native.run_oracle(ranges)
-        jpath, _ = scan_matcher.run_scan(ranges, DEFAULT_CONFIG)
-        secondary["fidelity_museum1000"] = {
-            "scans_per_sec": round(f_sps, 1), "ate": round(f_err, 4),
-            "bit_exact_vs_oracle": bool(
-                max_abs_err(np.asarray(jpath), cpath) == 0.0)}
-
-    def s_building():
-        b_ranges, b_gt, _ = dataset.ensure_dataset(
-            n_scans=simulate.BUILDING_N_SCANS, world="building")
-        n_b = b_ranges.shape[0]
-        b_floor = _dispatch_floor(b_ranges)
-        # (a) parity config (+-1 window): diverges exactly like the C oracle
-        f_sps, f_err = _timed_run(
-            lambda eps: scan_matcher.run_scan(b_ranges + eps, BUILDING_CONFIG),
-            "fidelity-building", b_gt, n_b, b_floor)
-        cpath, _ = native.run_oracle_cfg(b_ranges, BUILDING_CONFIG)
-        jpath, _ = scan_matcher.run_scan(b_ranges, BUILDING_CONFIG)
-        secondary["fidelity_building3800"] = {
-            "scans_per_sec": round(f_sps, 1), "ate": round(f_err, 4),
-            "bit_exact_vs_oracle": bool(
-                max_abs_err(np.asarray(jpath), cpath) == 0.0)}
-        # (b) solved config (+-2 correlative window): the accuracy headline
-        # on the hard workload the reference's fixed window cannot track
-        w_sps, w_err = _timed_run(
-            lambda eps: scan_matcher.run_scan(b_ranges + eps,
-                                              BUILDING_WIDE_CONFIG),
-            "wide-building", b_gt, n_b, b_floor)
-        secondary["building3800_wide"] = {
-            "scans_per_sec": round(w_sps, 1), "ate": round(w_err, 4)}
-        bcfg = dataclasses.replace(
-            BUILDING_CONFIG, particles=dataclasses.replace(
-                BUILDING_CONFIG.particles, n_particles=1024))
-        p_sps, p_err = _timed_run(
-            lambda eps: fastslam.run_pf(b_ranges + eps, bcfg),
-            "pf1024-building", b_gt, n_b, b_floor)
-        secondary["pf1024_building3800"] = {
-            "scans_per_sec": round(p_sps, 1), "ate": round(p_err, 4)}
-
-    def s_pf10240():
-        big = dataclasses.replace(
-            DEFAULT_CONFIG, particles=ParticleConfig(n_particles=10240))
-        p_sps, p_err = _timed_run(lambda eps: fastslam.run_pf(ranges + eps, big),
-                                  "pf-10240", gt, n_scans, floor)
-        secondary["pf10240_museum1000"] = {
-            "scans_per_sec": round(p_sps, 1), "ate": round(p_err, 4)}
-
-    def s_ekf():
-        from lidar_slam_tpu.models import ekf_slam
-
-        ecfg = ekf_slam.long_tour_config(1024)
-        e_sps, e_err = _timed_run(
-            lambda eps: ekf_slam.run_ekf_slam_scan(
-                ranges + eps, ecfg, lidar_cfg=DEFAULT_CONFIG.lidar, seed=0,
-                max_range=ekf_slam.LONG_TOUR_MAX_RANGE),
-            "ekf-1024", gt, n_scans, floor)
-        secondary["ekf1024_museum1000"] = {
-            "scans_per_sec": round(e_sps, 1), "ate": round(e_err, 4)}
-
-    def s_graph():
-        from lidar_slam_tpu.models.graph_slam import GraphSlam
-
-        g_ranges, g_gt = simulate.generate_dataset(
-            n_scans=700, seed=0, waypoints=simulate.LOOP_WAYPOINTS)
-        gs = GraphSlam(DEFAULT_CONFIG)
-        t0 = time.time()
-        gs.run(g_ranges)                      # warm (compiles)
-        _log(f"graph-700: warm run {time.time() - t0:.1f}s")
-        gs = GraphSlam(DEFAULT_CONFIG)
-        t0 = time.time()
-        path, _ = gs.run(g_ranges + np.float32(1e-5))
-        dt = time.time() - t0
-        secondary["graph_700loop"] = {
-            "scans_per_sec": round(699 / dt, 1),
-            "ate": round(float(ate(np.asarray(path), g_gt)), 4),
-            "closures": len(gs.closures)}
-        _log(f"graph-700: {699 / dt:.1f} scans/s wall, "
-             f"{len(gs.closures)} closures")
-
-    def s_scaling():
-        """Shard-count sweep of the sharded PF step (BASELINE config 4).
-
-        Real multi-chip hardware is unavailable in this container (one v5e
-        chip behind a tunnel), so the sweep runs on an 8-virtual-device CPU
-        mesh in a subprocess: it validates that the pjit/shard_map program
-        compiles AND executes at 1/2/4/8 particle shards. Labeled as
-        program validation — the real single-chip scans/s is the headline;
-        ICI scaling efficiency needs a real slice."""
-        import os
-        import subprocess
-
-        env = dict(os.environ)
-        env.pop("PALLAS_AXON_POOL_IPS", None)  # must not claim the TPU
-        env["JAX_PLATFORMS"] = "cpu"
-        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
-                            + " --xla_force_host_platform_device_count=8")
-        code = (
-            "import json\n"
-            "import jax; jax.config.update('jax_platforms', 'cpu')\n"
-            "from lidar_slam_tpu.io import dataset\n"
-            "from lidar_slam_tpu.parallel import multihost\n"
-            "r, _, _ = dataset.ensure_dataset(n_scans=40, seed=0)\n"
-            "rep = multihost.scaling_report(r, n_particles=512,\n"
-            "    shard_counts=(1, 2, 4, 8), n_scans=24)\n"
-            "print('SCALING=' + json.dumps({str(k): round(v, 2)\n"
-            "    for k, v in rep.items()}))\n")
-        out = subprocess.run(["python", "-c", code], env=env, cwd="/root/repo",
-                             capture_output=True, text=True, timeout=_left())
-        line = [ln for ln in out.stdout.splitlines() if ln.startswith("SCALING=")]
-        if not line:
-            raise RuntimeError(f"scaling subprocess failed: {out.stderr[-500:]}")
-        rep = json.loads(line[0][len("SCALING="):])
-        secondary["scaling_virtual_mesh"] = {
-            "note": "8-virtual-device CPU mesh program validation, "
-                    "scans/s per shard count (not ICI scaling)",
-            "scans_per_sec": rep}
-        _log(f"scaling (virtual mesh): {rep}")
-
-    # Cheap required BASELINE configs first; the expensive graph backend
-    # runs last so a slow compile degrades optional entries, not required
-    # ones (round-2 lost pf10240 to the graph stage's 270 s).
-    stage("fidelity", 90, s_fidelity)
-    stage("pf10240", 60, s_pf10240)
-    stage("building", 150, s_building)
-    stage("ekf", 80, s_ekf)
-    stage("scaling", 70, s_scaling)
-    stage("graph", 80, s_graph)
-
-    print(json.dumps({
-        "metric": metric,
-        "value": round(sps, 2),
+    result: dict = {
+        "metric": "bench incomplete (no stage finished)",
+        "value": 0.0,
         "unit": "scans/s",
-        "vs_baseline": round(sps / C_BASELINE_SCANS_PER_SEC, 2),
-        "vs_local_oracle": vs_local,
-        "kernels": kernels,
-        "secondary": secondary,
-    }))
+        "vs_baseline": None,
+        "vs_local_oracle": None,
+        "backend": None,
+        "kernels": {},
+        "secondary": {},
+        "stages": {},
+    }
+    done = threading.Event()
+
+    def finish(partial: bool = False) -> None:
+        if done.is_set():
+            return
+        done.set()
+        if partial:
+            result["partial"] = True
+        hl = result.pop("_headline", None)
+        if hl:
+            result["metric"] = hl["metric"]
+            result["value"] = hl["value"]
+            result["vs_baseline"] = round(
+                hl["value"] / C_BASELINE_SCANS_PER_SEC, 2)
+        orc = result["secondary"].get("oracle_naive_local")
+        if orc and result["value"]:
+            result["vs_local_oracle"] = round(
+                result["value"] / orc["scans_per_sec"], 1)
+        print(json.dumps(result), flush=True)
+
+    def on_deadline() -> None:
+        # fires even if a subprocess wait is stuck; prints partials and exits
+        time.sleep(max(_DEADLINE - 8.0 - time.time(), 0.0))
+        if not done.is_set():
+            _log("watchdog: deadline reached, dumping partial artifact")
+            finish(partial=True)
+            os._exit(0)
+
+    threading.Thread(target=on_deadline, daemon=True).start()
+
+    def on_signal(signum, frame):
+        _log(f"signal {signum}: dumping partial artifact")
+        finish(partial=True)
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, on_signal)
+    signal.signal(signal.SIGINT, on_signal)
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    tpu_env = dict(os.environ)
+    ok, info = _probe_tpu(tpu_env, timeout=70.0)
+    _log(f"tpu probe: {info}")
+    if not ok:
+        # A cold axon tunnel has been observed to take ~200 s to serve its
+        # FIRST dispatch ever, then settle at ~30 ms — one longer retry
+        # rides out the warmup before surrendering the round to CPU.
+        ok, info = _probe_tpu(tpu_env, timeout=150.0)
+        _log(f"tpu probe retry: {info}")
+    if ok:
+        result["backend"] = "tpu" if "tpu" in info or "axon" in info else info.split()[-1]
+        env = tpu_env
+    else:
+        result["backend"] = f"cpu-fallback ({info})"
+        env = _cpu_env(tpu_env)
+
+    consecutive_timeouts = 0
+    for name, budget, need in PLAN:
+        if _left() < need:
+            result["stages"][name] = "skipped (deadline)"
+            _log(f"skip {name} ({_left():.0f}s left < {need}s)")
+            continue
+        stage_env = env
+        if name in CPU_ONLY_STAGES:
+            stage_env = _cpu_env(env)
+            stage_env.pop("BENCH_CPU_FALLBACK", None)
+            stage_env["XLA_FLAGS"] = (stage_env.get("XLA_FLAGS", "")
+                                      + " --xla_force_host_platform_device_count=8")
+        timeout = min(budget, max(_left() - 12.0, 5.0))
+        t0 = time.time()
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.join(here, "bench.py"),
+                 "--stage", name],
+                env=stage_env, cwd=here, capture_output=True, text=True,
+                timeout=timeout)
+        except subprocess.TimeoutExpired:
+            result["stages"][name] = f"timeout ({timeout:.0f}s)"
+            _log(f"{name}: TIMEOUT after {timeout:.0f}s")
+            if name not in NO_JAX_STAGES and name not in CPU_ONLY_STAGES:
+                consecutive_timeouts += 1
+                if consecutive_timeouts >= 2 and "cpu-fallback" not in str(
+                        result["backend"]):
+                    _log("two consecutive stage timeouts: switching to CPU "
+                         "fallback for remaining stages")
+                    result["backend"] = (
+                        f"{result['backend']}; cpu-fallback after "
+                        f"{name} (wedged mid-run)")
+                    env = _cpu_env(env)
+            continue
+        for ln in out.stderr.splitlines():
+            _log(f"  {name}| {ln}")
+        line = [ln for ln in out.stdout.splitlines()
+                if ln.startswith("STAGE_RESULT=")]
+        if out.returncode != 0 or not line:
+            result["stages"][name] = f"failed (rc={out.returncode})"
+            _log(f"{name}: FAILED rc={out.returncode}: {out.stderr[-300:]}")
+            continue
+        consecutive_timeouts = 0
+        res = json.loads(line[0][len("STAGE_RESULT="):])
+        if "headline" in res:
+            result["_headline"] = res["headline"]
+        result["secondary"].update(res.get("secondary", {}))
+        result["kernels"].update(res.get("kernels", {}))
+        result["stages"][name] = f"ok ({time.time() - t0:.0f}s)"
+        _log(f"{name}: ok in {time.time() - t0:.0f}s")
+
+    finish()
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", default=None, choices=sorted(STAGES))
+    args = ap.parse_args()
+    if args.stage:
+        run_child(args.stage)
+    else:
+        main()

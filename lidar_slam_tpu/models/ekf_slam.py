@@ -311,6 +311,10 @@ def ekf_slam_step_ml(state: EkfSlamState, obs: jnp.ndarray, obs_valid: jnp.ndarr
     noise = jax.random.normal(k_noise, (p, 3)) * jnp.asarray(
         [cfg.odo_xy_noise, cfg.odo_xy_noise, cfg.odo_th_noise], jnp.float32)
     if cfg.use_scan_odometry:
+        if odo is None:
+            raise ValueError(
+                "cfg.use_scan_odometry=True requires an `odo` (3,) delta "
+                "(see ops/scan_odometry.pairwise_odometry)")
         # delta applied in each particle's own frame (reference convention)
         poses = _compose_ref(state.poses, odo[None, :] + noise)
     else:
@@ -517,6 +521,21 @@ def run_ekf_slam_scan(ranges_all: np.ndarray, cfg: EkfSlamConfig,
         # sequential filter; odo row t-1 pairs with obs row t-1 = scan t
         odo_all = pairwise_odometry(
             jnp.asarray(ranges_all, jnp.float32), angles, lidar_cfg)
+        from lidar_slam_tpu.ops.scan_odometry import reach_clip_fraction
+
+        # 10%: corridor-ambiguity noise lands ~5% of a healthy museum run's
+        # deltas sporadically on the boundary; genuine fast-motion datasets
+        # saturate most of them
+        frac = reach_clip_fraction(np.asarray(odo_all))
+        if frac > 0.10:
+            import warnings
+
+            warnings.warn(
+                f"scan odometry: {frac:.1%} of pair deltas sit on the descent "
+                "reach boundary (~+-0.06 m/rad) — per-scan motion likely "
+                "exceeds the envelope and the motion prior is clipped; widen "
+                "pairwise_odometry step_t0/step_r0", RuntimeWarning,
+                stacklevel=2)
     else:
         odo_all = jnp.zeros((det.rb.shape[0] - 1, 3), jnp.float32)
     return _run_ml_jit(det.rb[1:], det.valid[1:], odo_all, cfg, seed)

@@ -45,8 +45,12 @@ def _raster_centered(x: jnp.ndarray, y: jnp.ndarray, valid: jnp.ndarray,
     origin = jnp.full((2,), np.float32(-0.5 * size * pixel), jnp.float32)
     col = roundf_like((x - origin[0]) * ipixel).astype(jnp.int32)
     row = roundf_like((y - origin[1]) * ipixel).astype(jnp.int32)
-    row = jnp.where(valid, row, size)       # routed out -> mode="drop"
-    col = jnp.where(valid, col, size)
+    # invalid AND out-of-extent points route to the drop slot: a negative
+    # index would WRAP to the opposite edge (jnp .at[] semantics) and write
+    # phantom occupancy, so in-bounds is part of the routing condition
+    keep = valid & (row >= 0) & (row < size) & (col >= 0) & (col < size)
+    row = jnp.where(keep, row, size)        # routed out -> mode="drop"
+    col = jnp.where(keep, col, size)
     occ = jnp.zeros((size, size), jnp.bool_).at[row, col].set(True, mode="drop")
     return OccGrid(occ=occ, n_rows=jnp.int32(size), n_cols=jnp.int32(size),
                    origin=origin, pixel=pixel)
@@ -86,6 +90,11 @@ def pairwise_odometry(ranges_all: jnp.ndarray, angles: jnp.ndarray,
     Returns (T-1, 3): row t-1 is the delta from scan t-1 to scan t in the
     reference convention. Chunked ``lax.map`` over a vmapped matcher keeps
     peak memory at chunk * size^2 floats regardless of T."""
+    if max_range >= 0.5 * size * pixel:
+        raise ValueError(
+            f"max_range={max_range} m reaches beyond the centered raster's "
+            f"half-extent {0.5 * size * pixel:.2f} m (size={size}, "
+            f"pixel={pixel}); widen the grid or lower max_range")
     t = ranges_all.shape[0]
     n_pairs = t - 1
     fn = functools.partial(_match_pair, angles=angles, lidar_cfg=lidar_cfg,
@@ -103,3 +112,19 @@ def pairwise_odometry(ranges_all: jnp.ndarray, angles: jnp.ndarray,
     cur = cur.reshape((n_chunks, chunk) + ranges_all.shape[1:])
     deltas = jax.lax.map(lambda pc: jax.vmap(fn)(pc[0], pc[1]), (prev, cur))
     return deltas.reshape(n_chunks * chunk, 3)[:n_pairs]
+
+
+def reach_clip_fraction(deltas: np.ndarray, step_t0: float = 0.03,
+                        step_r0: float = 0.03) -> float:
+    """Fraction of pair deltas that landed on the descent's reach boundary.
+
+    The halving descent's cumulative reach is ~+-2*step0 per axis; a delta at
+    >= 95% of that bound almost certainly means the true per-scan motion
+    exceeded the envelope and was silently clipped (a biased motion prior).
+    Host-side diagnostic — callers should warn when this is non-negligible."""
+    deltas = np.asarray(deltas)
+    if deltas.size == 0:
+        return 0.0
+    near_t = np.abs(deltas[:, :2]).max(axis=1) >= 1.9 * step_t0
+    near_r = np.abs(deltas[:, 2]) >= 1.9 * step_r0
+    return float(np.mean(near_t | near_r))
