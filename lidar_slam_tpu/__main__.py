@@ -18,6 +18,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 import sys
 import time
 
@@ -89,7 +90,25 @@ def cmd_run(args) -> int:
         from lidar_slam_tpu.models import fastslam
         from lidar_slam_tpu.utils import checkpoint
 
-        if args.resume:
+        if args.supervised:
+            # watchdog-contained run: a wedged device kills only the worker;
+            # the run resumes from its checkpoint (utils/watchdog)
+            from lidar_slam_tpu.utils import watchdog
+
+            run_dir = args.run_dir or ".slam_run"
+            path, report = watchdog.run_pf_supervised(
+                ranges, cfg, run_dir, seed=args.seed,
+                stall_timeout_s=args.stall_timeout)
+            print(f"supervised run: completed={report.completed} "
+                  f"attempts={report.attempts} stalls={report.stalls} "
+                  f"({report.seconds:.1f}s)")
+            if not report.completed:
+                return 1
+            template = fastslam.init_particles(jnp.asarray(ranges[0]), cfg,
+                                               args.seed)
+            state = checkpoint.load_state(
+                os.path.join(run_dir, watchdog.CKPT_FILE), template)
+        elif args.resume:
             # resume a checkpointed run with the host-loop driver
             step = fastslam.make_pf_step(cfg)
             template = fastslam.init_particles(jnp.asarray(ranges[0]), cfg,
@@ -259,6 +278,15 @@ def main(argv=None) -> int:
                     help="save final state (pf mode)")
     sp.add_argument("--resume", type=str, default=None,
                     help="resume from a saved state (pf mode)")
+    sp.add_argument("--supervised", action="store_true",
+                    help="pf mode: run under the device-failure watchdog "
+                    "(stall kill + restart + checkpoint-resume)")
+    sp.add_argument("--run-dir", type=str, default=None,
+                    help="supervised mode: heartbeat/checkpoint directory "
+                    "(default .slam_run)")
+    sp.add_argument("--stall-timeout", type=float, default=120.0,
+                    help="supervised mode: seconds without a heartbeat "
+                    "before the worker is killed and restarted")
     sp.set_defaults(fn=cmd_run)
 
     sp = sub.add_parser("oracle", help="run the native C++ golden pipeline")
