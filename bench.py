@@ -24,18 +24,29 @@ Prints exactly ONE JSON line:
 
 Indestructibility (round 4; BENCH_r03 was lost to a wedged axon tunnel that
 hung the first trivial dispatch — rc 124, parsed null):
-- the PARENT process never imports jax. It probes the TPU in a subprocess
-  with a hard timeout; if the probe hangs, every stage runs on CPU
-  (``JAX_PLATFORMS=cpu``) with reduced scan counts, clearly labeled.
-- every stage runs in its OWN subprocess with a hard timeout. A dispatch
-  wedged inside libtpu cannot be interrupted by signals in-process (the
-  round-3 failure mode); a subprocess can always be killed. Two consecutive
-  stage timeouts flip the remaining stages to CPU fallback.
+- the PARENT process never imports jax (cannot be wedged by the device). It
+  spawns ONE child that runs all stages and streams a ``STAGE_RESULT=`` JSON
+  line per stage; the parent merges them as they arrive.
+- one child for ALL stages, not one per stage: EVERY python process whose
+  env carries PALLAS_AXON_POOL_IPS claims the chip at interpreter boot
+  (sitecustomize registers an axon session — measured: an idle
+  ``python -c "time.sleep()"`` blocks all other processes' dispatches until
+  it exits and its grant drains, taking minutes). The parent therefore
+  RE-EXECS itself with the var stashed so it holds no session, restores it
+  only for the single TPU child, and strips it from every CPU child. The
+  child warms up once; the parent gives the warmup pseudo-stage a generous
+  budget to absorb any stale grant still draining.
+- a wedged dispatch cannot be interrupted in-process (the round-3 failure
+  mode) but the child can always be killed: when a stage exceeds its budget
+  the parent kills the child's process group and respawns it with the
+  REMAINING stages (completed results are kept). After two respawns the
+  rest runs on CPU (``JAX_PLATFORMS=cpu``) with reduced scan counts,
+  clearly labeled.
 - a watchdog thread + SIGTERM/SIGINT handlers in the parent print the
-  partial result dict before the driver's deadline, so the artifact degrades
-  instead of zeroing.
-- the persistent XLA compile cache (``.jax_cache``) makes the per-stage
-  subprocess restarts cheap after the first run.
+  partial result dict before the driver's deadline, so the artifact
+  degrades instead of zeroing.
+- the persistent XLA compile cache (``.jax_cache``) makes respawns and
+  repeated bench invocations cheap.
 
 Measurement methodology (round 3; the round-1/2 numbers were poisoned by
 the remote-attached "axon" TPU path and are NOT comparable):
@@ -70,7 +81,9 @@ PEAK_F32_FLOPS = 98.3e12   # MXU f32 ~ bf16/2 (197 TFLOP/s bf16)
 PEAK_HBM_BW = 819e9        # bytes/s
 
 _T0 = time.time()
-_DEADLINE = _T0 + 520.0    # leave ~70 s of the driver's 590 s for slack
+# children inherit the PARENT's absolute deadline via env
+_DEADLINE = float(os.environ.get("BENCH_DEADLINE_TS") or (_T0 + 520.0))
+# leave ~70 s of the driver's 590 s for slack
 
 # Child processes run with reduced scan counts when the parent fell back to
 # CPU (a full PF-1024 museum-1000 run is a TPU workload, not a CPU one).
@@ -276,12 +289,13 @@ def stage_kernels() -> dict:
     want = np.asarray(jax.jit(edt.edt_clamped)(occ))
     edt_exact = bool(np.array_equal(got, want))
 
+    l1, l2 = (16, 256) if CPU_FB else (64, 4096)
     # acc >= 0 always, so xor-ing with (acc > 1e30) is the identity — but XLA
     # cannot prove it, which pins the kernel inside the timing loop
     ms = _kernel_ms(lambda acc, o: edt_fn(jnp.logical_xor(o, acc > 1e30)),
                     lambda k: (jnp.asarray(
                         np.random.default_rng(100 + k).random((400, 400))
-                        < 0.02),))
+                        < 0.02),), l1=l1, l2=l2)
     costs = cost_analysis(edt_fn, occ)
     flops = float(costs.get("flops", 0.0))
     bytes_ = float(costs.get("bytes accessed", 0.0))
@@ -318,7 +332,7 @@ def stage_kernels() -> dict:
 
     ms_v = _kernel_ms(
         lambda acc, m, x, y, v, b: vol_fn(m + jnp.minimum(acc, 0.0), x, y, v, b),
-        vol_args, l2=2048)
+        vol_args, l1=l1, l2=min(l2, 2048))
     costs = cost_analysis(vol_fn, metric, sx, sy, sv, base)
     flops = float(costs.get("flops", 0.0))
     bytes_ = float(costs.get("bytes accessed", 0.0))
@@ -587,70 +601,136 @@ STAGES = {
 }
 
 
-def run_child(name: str) -> None:
+def run_child(names: list) -> None:
+    """Run the given stages IN ONE PROCESS, streaming one JSON line each.
+
+    One process for all stages because every fresh python process registers
+    a new axon session whose first dispatch pays an erratic 30-230 s
+    chip-claim handover; the warmup below absorbs it exactly once."""
     import jax
 
-    # persistent compile cache: per-stage subprocesses and repeated bench
+    # persistent compile cache: respawned children and repeated bench
     # invocations skip recompiles of the whole-run scan programs
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
-    res = STAGES[name]()
-    print("STAGE_RESULT=" + json.dumps(res), flush=True)
+
+    def emit(stage: str, payload: dict) -> None:
+        print("STAGE_RESULT=" + json.dumps({"stage": stage, **payload}),
+              flush=True)
+
+    import jax.numpy as jnp
+
+    t0 = time.time()
+    f = jax.jit(lambda a: jnp.sum(a) * 2)
+    float(f(jnp.ones(1000)))
+    t1 = time.time() - t0
+    t0 = time.time()
+    float(f(jnp.ones(1000) + 1e-6))
+    emit("__warmup__", {"result": {
+        "backend": jax.default_backend(),
+        "first_dispatch_s": round(t1, 2),
+        "dispatch_s": round(time.time() - t0, 3)}})
+
+    for name in names:
+        if _left() < 20:
+            emit(name, {"error": "skipped (child deadline)"})
+            continue
+        t0 = time.time()
+        try:
+            res = STAGES[name]()
+        except Exception as e:  # noqa: BLE001 — a stage must not kill the rest
+            emit(name, {"error": f"{type(e).__name__}: {e}"})
+            continue
+        emit(name, {"result": res, "seconds": round(time.time() - t0, 1)})
 
 
 # ===========================================================================
 # Parent orchestrator (never imports jax; cannot be wedged by the device)
 # ===========================================================================
 
-# (stage, subprocess timeout s, skip unless at least this much budget left)
+# (stage, per-stage budget s once the child is warm, skip below this budget)
 PLAN = [
-    ("headline", 210, 60),
+    ("headline", 150, 40),
     ("oracle", 60, 25),
-    ("ekf", 110, 45),
-    ("kernels", 120, 50),
-    ("building_graph", 170, 70),
-    ("fidelity", 110, 45),
-    ("building", 190, 80),
-    ("streaming", 90, 40),
-    ("pf10240", 90, 40),
-    ("graph", 130, 60),
-    ("scaling", 90, 45),
+    ("ekf", 120, 45),
+    ("kernels", 170, 50),
+    ("building_graph", 200, 70),
+    ("fidelity", 110, 40),
+    ("building", 220, 80),
+    ("streaming", 130, 40),
+    ("pf10240", 100, 40),
+    ("graph", 170, 60),
+    ("scaling", 100, 45),
 ]
+WARMUP_BUDGET = 260.0   # observed worst-case first-dispatch handover ~230 s
 
 CPU_ONLY_STAGES = {"scaling"}   # always on the virtual CPU mesh
-NO_JAX_STAGES = {"oracle"}      # pure native C++, cannot wedge
-
-
-def _probe_tpu(env: dict, timeout: float = 75.0) -> tuple:
-    """Can the device complete two trivial dispatches? (subprocess, killable)."""
-    code = (
-        "import time, jax, jax.numpy as jnp\n"
-        "t0=time.time()\n"
-        "f=jax.jit(lambda a: jnp.sum(a)*2)\n"
-        "x=float(f(jnp.ones(1000))); t1=time.time()-t0\n"
-        "t0=time.time(); x=float(f(jnp.ones(1000)+1e-6)); t2=time.time()-t0\n"
-        "print(f'PROBE_OK {t1:.2f} {t2:.3f} {jax.default_backend()}')\n")
-    try:
-        out = subprocess.run([sys.executable, "-c", code], env=env,
-                             cwd=os.path.dirname(os.path.abspath(__file__)),
-                             capture_output=True, text=True, timeout=timeout)
-    except subprocess.TimeoutExpired:
-        return False, f"probe hung >{timeout:.0f}s"
-    for ln in out.stdout.splitlines():
-        if ln.startswith("PROBE_OK"):
-            return True, ln.strip()
-    return False, f"probe rc={out.returncode}: {out.stderr[-200:]}"
 
 
 def _cpu_env(env: dict) -> dict:
     env = dict(env)
     env.pop("PALLAS_AXON_POOL_IPS", None)  # must not claim the TPU
+    env.pop("BENCH_AXON_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
     env["BENCH_CPU_FALLBACK"] = "1"
     return env
 
 
+def _tpu_env(env: dict) -> dict:
+    """Restore the stashed axon pool var for THE one TPU child."""
+    env = dict(env)
+    if env.get("BENCH_AXON_IPS"):
+        env["PALLAS_AXON_POOL_IPS"] = env.pop("BENCH_AXON_IPS")
+    return env
+
+
+class _Child:
+    """A stage-runner child whose stdout lines stream into a queue."""
+
+    def __init__(self, stages: list, env: dict, here: str):
+        import queue
+
+        self.proc = subprocess.Popen(
+            [sys.executable, os.path.join(here, "bench.py"),
+             "--stages", ",".join(stages)],
+            env=env, cwd=here, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True,
+            start_new_session=True)   # own pgid: killable as a group
+        self.q: "queue.Queue" = queue.Queue()
+
+        def read(stream, tag):
+            for ln in iter(stream.readline, ""):
+                self.q.put((tag, ln.rstrip("\n")))
+            self.q.put((tag, None))
+
+        for stream, tag in ((self.proc.stdout, "out"),
+                            (self.proc.stderr, "err")):
+            threading.Thread(target=read, args=(stream, tag),
+                             daemon=True).start()
+
+    def kill(self) -> None:
+        try:
+            os.killpg(self.proc.pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            pass
+
+
 def main() -> None:
+    import queue
+
+    # THE single most important line of the parent: this process's own boot
+    # already claimed the TPU (sitecustomize registers an axon session in
+    # EVERY python process whose env has PALLAS_AXON_POOL_IPS — measured: an
+    # idle `python -c "time.sleep()"` blocks all other processes' dispatches
+    # until it exits and its grant drains). Re-exec immediately with the var
+    # stashed so the parent holds no session; the TPU child gets it back.
+    if os.environ.get("PALLAS_AXON_POOL_IPS"):
+        env = dict(os.environ)
+        env["BENCH_AXON_IPS"] = env.pop("PALLAS_AXON_POOL_IPS")
+        os.execve(sys.executable,
+                  [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
+                  env)
+
     result: dict = {
         "metric": "bench incomplete (no stage finished)",
         "value": 0.0,
@@ -701,72 +781,116 @@ def main() -> None:
     signal.signal(signal.SIGINT, on_signal)
 
     here = os.path.dirname(os.path.abspath(__file__))
-    tpu_env = dict(os.environ)
-    ok, info = _probe_tpu(tpu_env, timeout=70.0)
-    _log(f"tpu probe: {info}")
-    if not ok:
-        # A cold axon tunnel has been observed to take ~200 s to serve its
-        # FIRST dispatch ever, then settle at ~30 ms — one longer retry
-        # rides out the warmup before surrendering the round to CPU.
-        ok, info = _probe_tpu(tpu_env, timeout=150.0)
-        _log(f"tpu probe retry: {info}")
-    if ok:
-        result["backend"] = "tpu" if "tpu" in info or "axon" in info else info.split()[-1]
-        env = tpu_env
-    else:
-        result["backend"] = f"cpu-fallback ({info})"
-        env = _cpu_env(tpu_env)
+    budgets = {name: b for name, b, _ in PLAN}
+    need = {name: n for name, _, n in PLAN}
+    # the scaling stage runs in its own always-CPU child at the end
+    main_stages = [n for n, _, _ in PLAN if n not in CPU_ONLY_STAGES]
+    env = dict(os.environ)
+    respawns = 0
 
-    consecutive_timeouts = 0
-    for name, budget, need in PLAN:
-        if _left() < need:
-            result["stages"][name] = "skipped (deadline)"
-            _log(f"skip {name} ({_left():.0f}s left < {need}s)")
-            continue
-        stage_env = env
-        if name in CPU_ONLY_STAGES:
-            stage_env = _cpu_env(env)
-            stage_env.pop("BENCH_CPU_FALLBACK", None)
-            stage_env["XLA_FLAGS"] = (stage_env.get("XLA_FLAGS", "")
-                                      + " --xla_force_host_platform_device_count=8")
-        timeout = min(budget, max(_left() - 12.0, 5.0))
-        t0 = time.time()
-        try:
-            out = subprocess.run(
-                [sys.executable, os.path.join(here, "bench.py"),
-                 "--stage", name],
-                env=stage_env, cwd=here, capture_output=True, text=True,
-                timeout=timeout)
-        except subprocess.TimeoutExpired:
-            result["stages"][name] = f"timeout ({timeout:.0f}s)"
-            _log(f"{name}: TIMEOUT after {timeout:.0f}s")
-            if name not in NO_JAX_STAGES and name not in CPU_ONLY_STAGES:
-                consecutive_timeouts += 1
-                if consecutive_timeouts >= 2 and "cpu-fallback" not in str(
-                        result["backend"]):
-                    _log("two consecutive stage timeouts: switching to CPU "
-                         "fallback for remaining stages")
-                    result["backend"] = (
-                        f"{result['backend']}; cpu-fallback after "
-                        f"{name} (wedged mid-run)")
-                    env = _cpu_env(env)
-            continue
-        for ln in out.stderr.splitlines():
-            _log(f"  {name}| {ln}")
-        line = [ln for ln in out.stdout.splitlines()
-                if ln.startswith("STAGE_RESULT=")]
-        if out.returncode != 0 or not line:
-            result["stages"][name] = f"failed (rc={out.returncode})"
-            _log(f"{name}: FAILED rc={out.returncode}: {out.stderr[-300:]}")
-            continue
-        consecutive_timeouts = 0
-        res = json.loads(line[0][len("STAGE_RESULT="):])
-        if "headline" in res:
-            result["_headline"] = res["headline"]
-        result["secondary"].update(res.get("secondary", {}))
-        result["kernels"].update(res.get("kernels", {}))
-        result["stages"][name] = f"ok ({time.time() - t0:.0f}s)"
-        _log(f"{name}: ok in {time.time() - t0:.0f}s")
+    def run_stage_list(stages: list, child_env: dict,
+                       warmup_budget: float) -> tuple:
+        """Run stages in one child. Returns (remaining, warmup_failed):
+        the stages that did NOT finish when the child had to be killed
+        ([] when done), and whether the kill happened before the child's
+        warmup dispatch ever completed (= device unusable, not a slow
+        stage)."""
+        pending = list(stages)
+        child_env = dict(child_env)
+        child_env["BENCH_DEADLINE_TS"] = repr(_DEADLINE)
+        child = _Child(pending, child_env, here)
+        expected_done = time.time() + warmup_budget
+        warmed = False
+        while pending:
+            timeout = min(expected_done, _DEADLINE - 10.0) - time.time()
+            if timeout <= 0:
+                child.kill()
+                if not warmed:
+                    _log("child never completed its warmup dispatch; "
+                         "device unusable")
+                    return pending, True
+                _log(f"{pending[0]}: stage budget exhausted, killing child")
+                result["stages"][pending[0]] = "timeout"
+                return pending[1:], False
+            try:
+                tag, ln = child.q.get(timeout=min(timeout, 5.0))
+            except queue.Empty:
+                continue
+            if ln is None:
+                if tag != "out":
+                    continue
+                # child exited: anything still pending failed
+                rc = child.proc.wait()
+                for name in pending:
+                    result["stages"][name] = f"child exited (rc={rc})"
+                _log(f"child exited rc={rc} with {len(pending)} "
+                     f"stages pending")
+                return [], False
+            if tag == "err":
+                _log(f"  child| {ln}")
+                continue
+            if not ln.startswith("STAGE_RESULT="):
+                continue
+            msg = json.loads(ln[len("STAGE_RESULT="):])
+            stage = msg["stage"]
+            if stage == "__warmup__":
+                w = msg["result"]
+                warmed = True
+                if result.get("backend") is None:
+                    result["backend"] = w["backend"]
+                _log(f"child warm: backend={w['backend']} first dispatch "
+                     f"{w['first_dispatch_s']}s")
+                expected_done = time.time() + budgets[pending[0]]
+                continue
+            if stage in pending:
+                pending.remove(stage)
+            if "error" in msg:
+                result["stages"][stage] = f"failed ({msg['error'][:120]})"
+                _log(f"{stage}: FAILED {msg['error'][:200]}")
+            else:
+                res = msg["result"]
+                if "headline" in res:
+                    result["_headline"] = res["headline"]
+                result["secondary"].update(res.get("secondary", {}))
+                result["kernels"].update(res.get("kernels", {}))
+                result["stages"][stage] = f"ok ({msg.get('seconds', 0):.0f}s)"
+                _log(f"{stage}: ok in {msg.get('seconds', 0):.0f}s")
+            if pending:
+                expected_done = time.time() + budgets[pending[0]]
+        child.kill()   # done: reap promptly (child may still be flushing)
+        return [], False
+
+    pending = [n for n in main_stages if _left() > need[n]]
+    while pending:
+        child_env = env if "BENCH_CPU_FALLBACK" in env else _tpu_env(env)
+        remaining, warmup_failed = run_stage_list(pending, child_env,
+                                                  WARMUP_BUDGET)
+        remaining = [n for n in remaining if _left() > need[n]]
+        for n in set(pending) - set(remaining) - set(result["stages"]):
+            result["stages"][n] = "skipped (deadline)"
+        if not remaining:
+            break
+        respawns += 2 if warmup_failed else 1
+        if respawns >= 2 and "BENCH_CPU_FALLBACK" not in env:
+            _log("device wedged repeatedly: remaining stages fall back to CPU")
+            result["backend"] = (
+                f"{result.get('backend') or 'tpu-unreachable'}; "
+                f"cpu-fallback after repeated wedges")
+            env = _cpu_env(env)
+        pending = remaining
+
+    for name in main_stages:
+        result["stages"].setdefault(name, "skipped (deadline)")
+
+    # scaling: always the 8-virtual-device CPU mesh, own child
+    if _left() > need["scaling"]:
+        senv = _cpu_env(dict(os.environ))
+        senv.pop("BENCH_CPU_FALLBACK", None)
+        senv["XLA_FLAGS"] = (senv.get("XLA_FLAGS", "")
+                             + " --xla_force_host_platform_device_count=8")
+        run_stage_list(["scaling"], senv, warmup_budget=60.0)
+    else:
+        result["stages"]["scaling"] = "skipped (deadline)"
 
     finish()
 
@@ -774,8 +898,12 @@ def main() -> None:
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", default=None, choices=sorted(STAGES))
+    ap.add_argument("--stages", default=None,
+                    help="comma-separated stage list (child mode)")
     args = ap.parse_args()
-    if args.stage:
-        run_child(args.stage)
+    if args.stages:
+        run_child(args.stages.split(","))
+    elif args.stage:
+        run_child([args.stage])
     else:
         main()
