@@ -24,29 +24,25 @@ Prints exactly ONE JSON line:
 
 Indestructibility (round 4; BENCH_r03 was lost to a wedged axon tunnel that
 hung the first trivial dispatch — rc 124, parsed null):
-- the PARENT process never imports jax (cannot be wedged by the device). It
-  spawns ONE child that runs all stages and streams a ``STAGE_RESULT=`` JSON
-  line per stage; the parent merges them as they arrive.
-- one child for ALL stages, not one per stage: EVERY python process whose
-  env carries PALLAS_AXON_POOL_IPS claims the chip at interpreter boot
-  (sitecustomize registers an axon session — measured: an idle
-  ``python -c "time.sleep()"`` blocks all other processes' dispatches until
-  it exits and its grant drains, taking minutes). The parent therefore
-  RE-EXECS itself with the var stashed so it holds no session, restores it
-  only for the single TPU child, and strips it from every CPU child. The
-  child warms up once; the parent gives the warmup pseudo-stage a generous
-  budget to absorb any stale grant still draining.
+- EVERY python process whose env carries PALLAS_AXON_POOL_IPS claims the
+  single TPU at interpreter boot (sitecustomize registers an axon session —
+  measured: an idle ``python -c "time.sleep()"`` blocks all other
+  processes' dispatches until it exits and its grant drains, taking
+  minutes). The driver-invoked ``python bench.py`` process therefore
+  already holds THE claim — so it runs the stages itself (the RUNNER) and
+  spawns a claim-free WATCHER child (env stripped) that owns the artifact.
+- the WATCHER inherits stdout, collects ``STAGE_RESULT=`` JSON lines from
+  the runner over a pipe, and is the only process that prints the final
+  JSON line — guarded by a deadline watchdog thread and SIGTERM/SIGINT
+  handlers, so the artifact degrades instead of zeroing.
 - a wedged dispatch cannot be interrupted in-process (the round-3 failure
-  mode) but the child can always be killed: when a stage exceeds its budget
-  the parent kills the child's process group and respawns it with the
-  REMAINING stages (completed results are kept). After two respawns the
-  rest runs on CPU (``JAX_PLATFORMS=cpu``) with reduced scan counts,
-  clearly labeled.
-- a watchdog thread + SIGTERM/SIGINT handlers in the parent print the
-  partial result dict before the driver's deadline, so the artifact
-  degrades instead of zeroing.
-- the persistent XLA compile cache (``.jax_cache``) makes respawns and
-  repeated bench invocations cheap.
+  mode) but the runner can always be killed: when a stage exceeds its
+  budget the watcher SIGKILLs the runner and finishes the remaining stages
+  in a fresh child — on the TPU when enough budget remains to drain the
+  dead runner's grant, else on CPU (``JAX_PLATFORMS=cpu``) with reduced
+  scan counts, clearly labeled.
+- the persistent XLA compile cache (``.jax_cache``) makes recovery children
+  and repeated bench invocations cheap.
 
 Measurement methodology (round 3; the round-1/2 numbers were poisoned by
 the remote-attached "axon" TPU path and are NOT comparable):
@@ -601,22 +597,29 @@ STAGES = {
 }
 
 
-def run_child(names: list) -> None:
+def run_child(names: list, out=None) -> None:
     """Run the given stages IN ONE PROCESS, streaming one JSON line each.
 
-    One process for all stages because every fresh python process registers
-    a new axon session whose first dispatch pays an erratic 30-230 s
-    chip-claim handover; the warmup below absorbs it exactly once."""
+    One process for all stages because every python process with the axon
+    env registers a session whose first dispatch pays the chip-claim
+    handover; the warmup below absorbs it exactly once. ``out`` defaults to
+    stdout (recovery children); the runner passes the watcher's pipe."""
     import jax
 
-    # persistent compile cache: respawned children and repeated bench
+    # persistent compile cache: recovery children and repeated bench
     # invocations skip recompiles of the whole-run scan programs
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
+    out = out or sys.stdout
+
     def emit(stage: str, payload: dict) -> None:
-        print("STAGE_RESULT=" + json.dumps({"stage": stage, **payload}),
-              flush=True)
+        try:
+            out.write("STAGE_RESULT="
+                      + json.dumps({"stage": stage, **payload}) + "\n")
+            out.flush()
+        except (BrokenPipeError, ValueError):
+            pass   # collector died; keep computing (results still in logs)
 
     import jax.numpy as jnp
 
@@ -635,17 +638,30 @@ def run_child(names: list) -> None:
         if _left() < 20:
             emit(name, {"error": "skipped (child deadline)"})
             continue
+        emit(name, {"start": True})
         t0 = time.time()
         try:
             res = STAGES[name]()
         except Exception as e:  # noqa: BLE001 — a stage must not kill the rest
             emit(name, {"error": f"{type(e).__name__}: {e}"})
             continue
+        # every entry carries its backend so a mixed tpu/cpu-fallback
+        # artifact stays unambiguous per number
+        backend = jax.default_backend()
+        for v in res.get("secondary", {}).values():
+            if isinstance(v, dict):
+                v.setdefault("backend", backend)
+        for v in res.get("kernels", {}).values():
+            if isinstance(v, dict):
+                v.setdefault("backend", backend)
+        if "headline" in res:
+            res["headline"]["backend"] = backend
         emit(name, {"result": res, "seconds": round(time.time() - t0, 1)})
 
 
 # ===========================================================================
-# Parent orchestrator (never imports jax; cannot be wedged by the device)
+# Runner (the driver-invoked process: holds the boot-time TPU claim) and
+# Watcher (claim-free child: owns the artifact; cannot be wedged)
 # ===========================================================================
 
 # (stage, per-stage budget s once the child is warm, skip below this budget)
@@ -714,22 +730,39 @@ class _Child:
         except (ProcessLookupError, PermissionError):
             pass
 
+    def wait(self):
+        return self.proc.wait()
 
-def main() -> None:
+
+def main_runner() -> None:
+    """The driver-invoked process. Its interpreter boot already claimed the
+    TPU (sitecustomize), so it runs the stages itself and delegates artifact
+    ownership to a claim-free watcher child that inherits stdout."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    wenv = dict(os.environ)
+    pool = wenv.pop("PALLAS_AXON_POOL_IPS", None)
+    if pool:
+        wenv["BENCH_AXON_IPS"] = pool   # for a recovery TPU child
+    wenv["BENCH_DEADLINE_TS"] = repr(_DEADLINE)
+    watcher = subprocess.Popen(
+        [sys.executable, os.path.join(here, "bench.py"),
+         "--watch", str(os.getpid())],
+        env=wenv, cwd=here, stdin=subprocess.PIPE, text=True)
+    main_stages = [n for n, _, _ in PLAN if n not in CPU_ONLY_STAGES]
+    try:
+        run_child(main_stages, out=watcher.stdin)
+        watcher.stdin.write("DONE\n")
+        watcher.stdin.flush()
+        watcher.stdin.close()
+    except (BrokenPipeError, ValueError):
+        pass
+    # the watcher prints the single JSON artifact line to the shared stdout;
+    # exiting before it finishes would race the driver's read of that line
+    watcher.wait()
+
+
+def main_watch(runner_pid: int) -> None:
     import queue
-
-    # THE single most important line of the parent: this process's own boot
-    # already claimed the TPU (sitecustomize registers an axon session in
-    # EVERY python process whose env has PALLAS_AXON_POOL_IPS — measured: an
-    # idle `python -c "time.sleep()"` blocks all other processes' dispatches
-    # until it exits and its grant drains). Re-exec immediately with the var
-    # stashed so the parent holds no session; the TPU child gets it back.
-    if os.environ.get("PALLAS_AXON_POOL_IPS"):
-        env = dict(os.environ)
-        env["BENCH_AXON_IPS"] = env.pop("PALLAS_AXON_POOL_IPS")
-        os.execve(sys.executable,
-                  [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
-                  env)
 
     result: dict = {
         "metric": "bench incomplete (no stage finished)",
@@ -785,50 +818,52 @@ def main() -> None:
     need = {name: n for name, _, n in PLAN}
     # the scaling stage runs in its own always-CPU child at the end
     main_stages = [n for n, _, _ in PLAN if n not in CPU_ONLY_STAGES]
-    env = dict(os.environ)
-    respawns = 0
 
-    def run_stage_list(stages: list, child_env: dict,
-                       warmup_budget: float) -> tuple:
-        """Run stages in one child. Returns (remaining, warmup_failed):
-        the stages that did NOT finish when the child had to be killed
-        ([] when done), and whether the kill happened before the child's
-        warmup dispatch ever completed (= device unusable, not a slow
-        stage)."""
+    def consume(src, stages: list, warmup_budget: float) -> tuple:
+        """Drain one stage source (the runner's pipe or a recovery child).
+
+        Returns (remaining, warmup_failed): the stages that did NOT finish
+        when the source had to be killed ([] when done / exited), and
+        whether the kill happened before the source's warmup dispatch ever
+        completed (= device unusable, not a slow stage)."""
         pending = list(stages)
-        child_env = dict(child_env)
-        child_env["BENCH_DEADLINE_TS"] = repr(_DEADLINE)
-        child = _Child(pending, child_env, here)
         expected_done = time.time() + warmup_budget
+        current = None            # stage the source announced it started
         warmed = False
         while pending:
             timeout = min(expected_done, _DEADLINE - 10.0) - time.time()
             if timeout <= 0:
-                child.kill()
+                src.kill()
                 if not warmed:
-                    _log("child never completed its warmup dispatch; "
+                    _log("source never completed its warmup dispatch; "
                          "device unusable")
                     return pending, True
-                _log(f"{pending[0]}: stage budget exhausted, killing child")
-                result["stages"][pending[0]] = "timeout"
-                return pending[1:], False
+                victim = current or pending[0]
+                _log(f"{victim}: stage budget exhausted, killing source")
+                result["stages"][victim] = "timeout"
+                return [n for n in pending if n != victim], False
             try:
-                tag, ln = child.q.get(timeout=min(timeout, 5.0))
+                tag, ln = src.q.get(timeout=min(timeout, 5.0))
             except queue.Empty:
                 continue
             if ln is None:
                 if tag != "out":
                     continue
-                # child exited: anything still pending failed
-                rc = child.proc.wait()
-                for name in pending:
-                    result["stages"][name] = f"child exited (rc={rc})"
-                _log(f"child exited rc={rc} with {len(pending)} "
+                if getattr(src, "clean_done", False):
+                    # runner finished and closed the pipe after DONE
+                    return [], False
+                rc = src.wait()
+                _log(f"source exited rc={rc} with {len(pending)} "
                      f"stages pending")
-                return [], False
+                return pending, not warmed
             if tag == "err":
                 _log(f"  child| {ln}")
                 continue
+            if ln.strip() == "DONE":
+                src.clean_done = True
+                for name in pending:
+                    result["stages"].setdefault(name, "not run")
+                return [], False
             if not ln.startswith("STAGE_RESULT="):
                 continue
             msg = json.loads(ln[len("STAGE_RESULT="):])
@@ -838,12 +873,17 @@ def main() -> None:
                 warmed = True
                 if result.get("backend") is None:
                     result["backend"] = w["backend"]
-                _log(f"child warm: backend={w['backend']} first dispatch "
+                _log(f"source warm: backend={w['backend']} first dispatch "
                      f"{w['first_dispatch_s']}s")
                 expected_done = time.time() + budgets[pending[0]]
                 continue
+            if msg.get("start"):
+                current = stage
+                expected_done = time.time() + budgets.get(stage, 120)
+                continue
             if stage in pending:
                 pending.remove(stage)
+            current = None
             if "error" in msg:
                 result["stages"][stage] = f"failed ({msg['error'][:120]})"
                 _log(f"{stage}: FAILED {msg['error'][:200]}")
@@ -857,53 +897,104 @@ def main() -> None:
                 _log(f"{stage}: ok in {msg.get('seconds', 0):.0f}s")
             if pending:
                 expected_done = time.time() + budgets[pending[0]]
-        child.kill()   # done: reap promptly (child may still be flushing)
         return [], False
 
-    pending = [n for n in main_stages if _left() > need[n]]
-    while pending:
-        child_env = env if "BENCH_CPU_FALLBACK" in env else _tpu_env(env)
-        remaining, warmup_failed = run_stage_list(pending, child_env,
-                                                  WARMUP_BUDGET)
+    # --- phase 1: the runner (this watcher's parent) streams over stdin
+    pending = list(main_stages)
+    remaining, warmup_failed = consume(_RunnerSource(runner_pid), pending,
+                                       WARMUP_BUDGET)
+
+    # --- phase 2: recovery children for whatever the runner left behind
+    attempts = 0
+    env = dict(os.environ)
+    while remaining and attempts < 3:
         remaining = [n for n in remaining if _left() > need[n]]
-        for n in set(pending) - set(remaining) - set(result["stages"]):
-            result["stages"][n] = "skipped (deadline)"
         if not remaining:
             break
-        respawns += 2 if warmup_failed else 1
-        if respawns >= 2 and "BENCH_CPU_FALLBACK" not in env:
-            _log("device wedged repeatedly: remaining stages fall back to CPU")
-            result["backend"] = (
-                f"{result.get('backend') or 'tpu-unreachable'}; "
-                f"cpu-fallback after repeated wedges")
-            env = _cpu_env(env)
-        pending = remaining
+        attempts += 1
+        # a fresh TPU child must queue behind the dead runner's grant
+        # (minutes); only worth it with a lot of budget left
+        use_tpu = (not warmup_failed and env.get("BENCH_AXON_IPS")
+                   and _left() > 300 and "BENCH_CPU_FALLBACK" not in env)
+        if use_tpu:
+            child_env = _tpu_env(env)
+            warm_b = min(WARMUP_BUDGET, _left() - 120)
+        else:
+            if "BENCH_CPU_FALLBACK" not in env:
+                _log("recovering remaining stages on CPU")
+                result["backend"] = (
+                    f"{result.get('backend') or 'tpu-unreachable'}; "
+                    f"cpu-fallback after wedge")
+                env = _cpu_env(env)
+            child_env = env
+            warm_b = 60.0
+        child_env = dict(child_env)
+        child_env["BENCH_DEADLINE_TS"] = repr(_DEADLINE)
+        remaining, warmup_failed = consume(
+            _Child(remaining, child_env, here), remaining, warm_b)
 
     for name in main_stages:
         result["stages"].setdefault(name, "skipped (deadline)")
 
-    # scaling: always the 8-virtual-device CPU mesh, own child
+    # --- phase 3: scaling, always the 8-virtual-device CPU mesh, own child
     if _left() > need["scaling"]:
         senv = _cpu_env(dict(os.environ))
         senv.pop("BENCH_CPU_FALLBACK", None)
+        senv["BENCH_DEADLINE_TS"] = repr(_DEADLINE)
         senv["XLA_FLAGS"] = (senv.get("XLA_FLAGS", "")
                              + " --xla_force_host_platform_device_count=8")
-        run_stage_list(["scaling"], senv, warmup_budget=60.0)
+        consume(_Child(["scaling"], senv, here), ["scaling"],
+                warmup_budget=60.0)
     else:
         result["stages"]["scaling"] = "skipped (deadline)"
 
     finish()
+    # In every failure path the wedged runner was already SIGKILLed by
+    # consume(); in the healthy path it is blocked in watcher.wait() and
+    # exits right after we do. Either way the driver's `python bench.py`
+    # returns with the artifact line on stdout.
+
+
+class _RunnerSource:
+    """Adapter: the runner's STAGE_RESULT stream arrives on OUR stdin."""
+
+    def __init__(self, runner_pid: int):
+        import queue
+
+        self.pid = runner_pid
+        self.clean_done = False
+        self.q: "queue.Queue" = queue.Queue()
+
+        def read():
+            for ln in sys.stdin:
+                self.q.put(("out", ln.rstrip("\n")))
+            self.q.put(("out", None))
+
+        threading.Thread(target=read, daemon=True).start()
+
+    def kill(self) -> None:
+        try:
+            os.kill(self.pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            pass
+
+    def wait(self) -> str:
+        return "runner"
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", default=None, choices=sorted(STAGES))
     ap.add_argument("--stages", default=None,
-                    help="comma-separated stage list (child mode)")
+                    help="comma-separated stage list (recovery-child mode)")
+    ap.add_argument("--watch", default=None, type=int, metavar="RUNNER_PID",
+                    help="watcher mode: own the artifact, monitor the runner")
     args = ap.parse_args()
-    if args.stages:
+    if args.watch is not None:
+        main_watch(args.watch)
+    elif args.stages:
         run_child(args.stages.split(","))
     elif args.stage:
         run_child([args.stage])
     else:
-        main()
+        main_runner()

@@ -40,15 +40,25 @@ class LoopClosureConfig:
     window_half: int = 14         # +-2.8 m search window
     accept_avg_dist: float = 1.1  # px — acceptance threshold
     min_inlier_frac: float = 0.75  # fraction of beams in bounds
-    # peak-sharpness gate: reject a match when more than this fraction of the
-    # whole search volume scores within ``ambiguity_margin`` px of the best
+    # peak-sharpness gate: reject a match when more than this many CELLS of
+    # the search volume score within ``ambiguity_margin`` px of the best
     # cell. Corridor aliasing leaves a near-flat valley along the corridor
-    # axis (a line of near-optimal cells); a true unique alignment has a
-    # sharp, isolated minimum. Wrong-but-plausible corridor closures were the
-    # dominant graph-accuracy failure on building-3800 (ATE 10.3 m with them,
-    # 0.17 m frontend-only).
-    max_ambiguity: float = 0.01
+    # axis (a LINE of near-optimal cells, ~2*window_half+1 of them); a true
+    # unique alignment has a sharp, isolated minimum (<= a trilinear plateau
+    # of a few cells). Round 3 gated on the near-optimal FRACTION (1%), but
+    # a 29-cell corridor valley is only 0.16% of the 21x29x29 volume — the
+    # dominant building-3800 failure (aliased closures at ATE 9-10 m) passed
+    # that gate by an order of magnitude.
+    max_ambiguous_cells: float = 8.0
     ambiguity_margin: float = 0.25  # px above the best average distance
+    # odometry-consistency gate: a closure implies a correction
+    # |z_match - z_est| of the relative pose between its keyframes; real
+    # frontend drift grows with distance traveled, so corrections beyond
+    # abs + rel * (path length between the keyframes) are wrong by
+    # construction (a low-drift frontend cannot be meters off over a short
+    # gap — exactly the signature of an aliased corridor match).
+    consistency_abs: float = 0.15   # m (and rad for the heading axis)
+    consistency_rel: float = 0.03   # per meter of inter-keyframe path
     min_gap: int = 10             # keyframe index gap before closing
     max_dist: float = 4.0         # m — candidate search radius
     max_candidates: int = 2       # old keyframes tried per new keyframe
@@ -250,6 +260,9 @@ class GraphSlam:
         self.kf_poses: list[np.ndarray] = []   # ref-convention, host mirror
         self.closures: list[tuple[int, int]] = []
         self.kf_times: list[int] = []   # scan index of each keyframe
+        self._kf_cum: list[float] = []  # path length up to each keyframe (m),
+        #                                 frozen at add time (drift budget of
+        #                                 the consistency gate)
         self.timer = StageTimer()      # per-phase wall breakdown of run()
 
     # -- views ------------------------------------------------------------------
@@ -315,6 +328,10 @@ class GraphSlam:
                                 _np_ref_to_std(pose_ref))
             self._edges.append((k - 1, k, z,
                                 np.asarray([100.0, 100.0, 400.0], np.float32)))
+            self._kf_cum.append(self._kf_cum[-1] + float(
+                np.hypot(*(pose_ref[:2] - self.kf_poses[-1][:2]))))
+        else:
+            self._kf_cum.append(0.0)
         self.kf_poses.append(pose_ref)
         self.kf_times.append(scan_t)
         return k
@@ -390,12 +407,13 @@ class GraphSlam:
         rels, avg_ds, inliers, ambigs = (packed[:, :3], packed[:, 3],
                                          packed[:, 4], packed[:, 5])
 
+        n_cells = lc.n_theta * (2 * lc.window_half + 1) ** 2
         any_accepted = False
         for row in range(b):                   # skip padded rows
             i, k = olds[row], ks[row]
             if (avg_ds[row] > lc.accept_avg_dist
                     or inliers[row] < lc.min_inlier_frac
-                    or ambigs[row] > lc.max_ambiguity):
+                    or ambigs[row] * n_cells > lc.max_ambiguous_cells):
                 continue
             # rail rejection: a "match" at the edge of the search window means
             # the true alignment is outside it (drift exceeded the window) —
@@ -405,6 +423,13 @@ class GraphSlam:
             max_th = 0.85 * (lc.n_theta // 2) * lc.theta_step
             if (abs(off[0]) > max_xy or abs(off[1]) > max_xy
                     or abs(off[2]) > max_th):
+                continue
+            # odometry-consistency gate: the implied correction must fit
+            # inside the drift budget accumulated between the two keyframes
+            budget = (lc.consistency_abs + lc.consistency_rel
+                      * abs(self._kf_cum[k] - self._kf_cum[i]))
+            if (abs(off[0]) > budget or abs(off[1]) > budget
+                    or abs(off[2]) > budget):
                 continue
             # convert measurement to the standard convention (theta negated)
             z_std = np.asarray([rels[row][0], rels[row][1], -rels[row][2]],
