@@ -194,6 +194,22 @@ def cmd_run(args) -> int:
         raise SystemExit(f"unknown mode {args.mode}")
     dt = time.time() - t0
 
+    if args.debug_checks:
+        # sanitizer-analog audit (utils/debug): final state + trajectory
+        from lidar_slam_tpu.utils import debug
+
+        violations = []
+        if not np.isfinite(np.asarray(path)).all():
+            violations.append("trajectory contains non-finite poses")
+        for nm, obj in (("state", locals().get("state")),
+                        ("final", locals().get("final"))):
+            if obj is not None:
+                violations += debug.validate_state(obj, nm)
+        if violations:
+            print("DEBUG-CHECKS FAILED:\n  " + "\n  ".join(violations))
+            return 2
+        print("debug-checks: all state invariants hold")
+
     n = len(path)
     print(f"{args.mode}: {n} scans in {dt:.2f}s = {n / dt:.1f} scans/s")
     if gt is not None and len(gt) == n:
@@ -287,6 +303,9 @@ def main(argv=None) -> int:
     sp.add_argument("--stall-timeout", type=float, default=120.0,
                     help="supervised mode: seconds without a heartbeat "
                     "before the worker is killed and restarted")
+    sp.add_argument("--debug-checks", action="store_true",
+                    help="audit final state/trajectory invariants "
+                    "(finiteness, capacities, weight health; utils/debug)")
     sp.set_defaults(fn=cmd_run)
 
     sp = sub.add_parser("oracle", help="run the native C++ golden pipeline")
