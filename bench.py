@@ -142,15 +142,18 @@ def _timed_run(runner, label: str, gt, n_scans: int, floor_s: float = 0.0,
     from lidar_slam_tpu.utils.metrics import ate
 
     t0 = time.time()
-    path = np.asarray(runner(0.0)[0])
+    path0 = np.asarray(runner(0.0)[0])
     _log(f"{label}: compile+first run {time.time() - t0:.1f}s")
     ts = []
     for k in range(reps):
         t0 = time.perf_counter()
-        path = np.asarray(runner(np.float32(1e-5 * (k + 1)))[0])
+        np.asarray(runner(np.float32(1e-5 * (k + 1)))[0])
         ts.append(time.perf_counter() - t0)
     dev = max(statistics.median(ts) - floor_s, 1e-9)
-    err = float(ate(path, gt))
+    # ATE from the UNPERTURBED run: chaotic-regime configs (the +-1-window
+    # building parity pipeline) can flip between tracking and divergence on
+    # a 1e-5 input perturbation, and the parity surface is eps=0
+    err = float(ate(path0, gt))
     sps = (n_scans - 1) / dev
     _log(f"{label}: {sps:.1f} scans/s (device {dev:.3f}s, floor "
          f"{floor_s * 1e3:.0f} ms)  ATE {err:.4f} m")
