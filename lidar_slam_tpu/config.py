@@ -162,7 +162,17 @@ DEFAULT_CONFIG = SlamConfig()
 BUILDING_CONFIG = SlamConfig(
     grid=GridConfig(coarse_size=256, fine_size=512),
     map=MapConfig(map_capacity=40000),
-    particles=ParticleConfig(cascade_levels=2),
+    # 13 theta bins: the building tour's corridor turns change heading
+    # faster than the default +-3-bin (~0.75 deg) weighting window covers —
+    # with 7 bins the whole cloud edge-clamps at a turn near scan 1495 and
+    # the filter never recovers (ATE 6.3 m); +-6 bins tracks it (~0.9 m —
+    # the remaining error is one lower-corridor mis-registration baked into
+    # the map, which a filter without loop closure cannot undo; the
+    # wide-window frontend and the graph backend run the same tour at
+    # 0.04-0.17 m).
+    # cascade_levels=1: the min-pooled coarse level flattens the weighting
+    # and measurably hurts here (6.0-7.0 m at levels=2 across sigma sweeps).
+    particles=ParticleConfig(cascade_levels=1, vol_theta_bins=13),
 )
 
 # The building workload *solved* (vs BUILDING_CONFIG, which keeps the
