@@ -46,11 +46,20 @@ def _load_ranges(args) -> tuple[np.ndarray, np.ndarray | None]:
 
 def _base_config(args):
     """Pick the grid/map preset matching the workload world."""
-    from lidar_slam_tpu.config import BUILDING_CONFIG, DEFAULT_CONFIG
+    import dataclasses as _dc
 
-    if getattr(args, "world", "museum") == "building":
-        return BUILDING_CONFIG
-    return DEFAULT_CONFIG
+    from lidar_slam_tpu.config import (BUILDING_CONFIG, DEFAULT_CONFIG,
+                                       MatcherConfig)
+
+    cfg = (BUILDING_CONFIG if getattr(args, "world", "museum") == "building"
+           else DEFAULT_CONFIG)
+    w = getattr(args, "window", None)
+    if w is not None:
+        # +-w-step correlative search per matcher stage; w=2 is the
+        # BUILDING_WIDE_CONFIG that solves the building tour (w=1 =
+        # reference-exact parity window)
+        cfg = _dc.replace(cfg, matcher=MatcherConfig(window_t=w, window_r=w))
+    return cfg
 
 
 def cmd_simulate(args) -> int:
@@ -285,6 +294,9 @@ def main(argv=None) -> int:
                     choices=["fidelity", "pf", "ekf", "graph", "submap",
                              "submap-graph"],
                     default="fidelity")
+    sp.add_argument("--window", type=int, default=None,
+                    help="matcher search window in steps per stage "
+                    "(1 = reference-exact; 2 solves the building tour)")
     sp.add_argument("--particles", type=int, default=1024)
     sp.add_argument("--paged", action="store_true",
                     help="submap mode: page cold submaps to host memory")
