@@ -840,13 +840,18 @@ def main_watch(runner_pid: int) -> None:
         while pending:
             timeout = min(expected_done, _DEADLINE - 10.0) - time.time()
             if timeout <= 0:
-                src.kill()
+                # The RUNNER is NOT killed here: `python bench.py` exiting
+                # before the watcher prints the artifact races the driver's
+                # read of stdout. A wedged runner parks harmlessly in its
+                # stuck dispatch; the watcher kills it AFTER finish().
+                if not getattr(src, "defer_kill", False):
+                    src.kill()
                 if not warmed:
                     _log("source never completed its warmup dispatch; "
                          "device unusable")
                     return pending, True
                 victim = current or pending[0]
-                _log(f"{victim}: stage budget exhausted, killing source")
+                _log(f"{victim}: stage budget exhausted, abandoning source")
                 result["stages"][victim] = "timeout"
                 return [n for n in pending if n != victim], False
             try:
@@ -908,10 +913,15 @@ def main_watch(runner_pid: int) -> None:
 
     # --- phase 1: the runner (this watcher's parent) streams over stdin
     pending = list(main_stages)
-    remaining, warmup_failed = consume(_RunnerSource(runner_pid), pending,
-                                       WARMUP_BUDGET)
+    runner_src = _RunnerSource(runner_pid)
+    remaining, warmup_failed = consume(runner_src, pending, WARMUP_BUDGET)
+    # no stage left behind = the runner finished (or already exited) — it
+    # will write DONE and block in watcher.wait() until we exit
+    runner_healthy = not remaining
 
-    # --- phase 2: recovery children for whatever the runner left behind
+    # --- phase 2: CPU recovery children for whatever the runner left
+    # behind. Always CPU: a fresh TPU child would queue behind the (possibly
+    # still wedged, deliberately unkilled) runner's grant for minutes.
     attempts = 0
     env = dict(os.environ)
     while remaining and attempts < 3:
@@ -919,26 +929,16 @@ def main_watch(runner_pid: int) -> None:
         if not remaining:
             break
         attempts += 1
-        # a fresh TPU child must queue behind the dead runner's grant
-        # (minutes); only worth it with a lot of budget left
-        use_tpu = (not warmup_failed and env.get("BENCH_AXON_IPS")
-                   and _left() > 300 and "BENCH_CPU_FALLBACK" not in env)
-        if use_tpu:
-            child_env = _tpu_env(env)
-            warm_b = min(WARMUP_BUDGET, _left() - 120)
-        else:
-            if "BENCH_CPU_FALLBACK" not in env:
-                _log("recovering remaining stages on CPU")
-                result["backend"] = (
-                    f"{result.get('backend') or 'tpu-unreachable'}; "
-                    f"cpu-fallback after wedge")
-                env = _cpu_env(env)
-            child_env = env
-            warm_b = 60.0
-        child_env = dict(child_env)
+        if "BENCH_CPU_FALLBACK" not in env:
+            _log("recovering remaining stages on CPU")
+            result["backend"] = (
+                f"{result.get('backend') or 'tpu-unreachable'}; "
+                f"cpu-fallback after wedge")
+            env = _cpu_env(env)
+        child_env = dict(env)
         child_env["BENCH_DEADLINE_TS"] = repr(_DEADLINE)
-        remaining, warmup_failed = consume(
-            _Child(remaining, child_env, here), remaining, warm_b)
+        remaining, _wf = consume(
+            _Child(remaining, child_env, here), remaining, 60.0)
 
     for name in main_stages:
         result["stages"].setdefault(name, "skipped (deadline)")
@@ -956,10 +956,14 @@ def main_watch(runner_pid: int) -> None:
         result["stages"]["scaling"] = "skipped (deadline)"
 
     finish()
-    # In every failure path the wedged runner was already SIGKILLed by
-    # consume(); in the healthy path it is blocked in watcher.wait() and
-    # exits right after we do. Either way the driver's `python bench.py`
-    # returns with the artifact line on stdout.
+    # Only NOW may a wedged runner die: the artifact line is flushed to the
+    # shared stdout, so ending `python bench.py` cannot race the driver's
+    # read. In the healthy path (DONE received) the runner is blocked in
+    # watcher.wait() and exits 0 by itself right after us — no kill, or
+    # every clean run would report rc 137.
+    sys.stdout.flush()
+    if not runner_healthy:
+        runner_src.kill()
 
 
 class _RunnerSource:
@@ -970,6 +974,7 @@ class _RunnerSource:
 
         self.pid = runner_pid
         self.clean_done = False
+        self.defer_kill = True   # see consume(): killed only after finish()
         self.q: "queue.Queue" = queue.Queue()
 
         def read():
