@@ -368,6 +368,11 @@ def stage_pf10240() -> dict:
     from lidar_slam_tpu.config import DEFAULT_CONFIG, ParticleConfig
     from lidar_slam_tpu.models import fastslam
 
+    if CPU_FB:
+        # a 10k-particle sweep is a TPU workload; on the CPU fallback its
+        # compile alone blows the stage budget for a meaningless number
+        return {"secondary": {"pf10240_museum1000": {
+            "skipped": "cpu fallback"}}}
     ranges, gt, n = _museum()
     floor = _dispatch_floor(ranges)
     big = dataclasses.replace(
@@ -435,22 +440,17 @@ def stage_building_graph() -> dict:
     path, _ = gs.run(b_ranges)
     dt = time.time() - t0
     err = float(ate(np.asarray(path), b_gt))
-    _log(f"building-graph: {(n_b - 1) / dt:.1f} scans/s wall (incl. compile), "
+    _log(f"building-graph: {(n_b - 1) / dt:.1f} scans/s wall, "
          f"ATE {err:.4f} m, {len(gs.closures)} closures")
-    res = {"scans_per_sec_incl_compile": round((n_b - 1) / dt, 1),
-           "ate": round(err, 4), "closures": len(gs.closures), "n_scans": n_b}
-    # warm re-run if the budget allows: the honest steady-state number
-    if _left() > dt + 15:
-        gs = GraphSlam(BUILDING_WIDE_CONFIG)
-        t0 = time.time()
-        path, _ = gs.run(b_ranges + np.float32(1e-5))
-        dt = time.time() - t0
-        res["scans_per_sec"] = round((n_b - 1) / dt, 1)
-        res["ate"] = round(float(ate(np.asarray(path), b_gt)), 4)
-        res["closures"] = len(gs.closures)
-        _log(f"building-graph warm: {(n_b - 1) / dt:.1f} scans/s, "
-             f"ATE {res['ate']} m")
-    return {"secondary": {"building3800_graph": res}}
+    # ONE run: with the persistent compile cache this wall number is
+    # steady-state + host-loop dispatch overhead (a second warm run for
+    # "pure" steady state doubled the stage cost past its budget and a
+    # budget overrun kills the whole runner — reference point: 113.7
+    # scans/s warm vs ~100 incl cached-compile load)
+    return {"secondary": {"building3800_graph": {
+        "scans_per_sec_wall": round((n_b - 1) / dt, 1),
+        "ate": round(err, 4), "closures": len(gs.closures),
+        "n_scans": n_b}}}
 
 
 def stage_ekf() -> dict:
@@ -668,16 +668,18 @@ def run_child(names: list, out=None) -> None:
 # ===========================================================================
 
 # (stage, per-stage budget s once the child is warm, skip below this budget)
+# Cheap stages run first so a cold warmup degrades the tail, not the count;
+# the two expensive building stages precede graph (VERDICT priority).
 PLAN = [
     ("headline", 150, 40),
     ("oracle", 60, 25),
     ("ekf", 120, 45),
     ("kernels", 170, 50),
-    ("building_graph", 200, 70),
-    ("fidelity", 110, 40),
-    ("building", 220, 80),
+    ("pf10240", 100, 35),
+    ("fidelity", 110, 35),
     ("streaming", 130, 40),
-    ("pf10240", 100, 40),
+    ("building", 230, 80),
+    ("building_graph", 210, 70),
     ("graph", 170, 60),
     ("scaling", 100, 45),
 ]
