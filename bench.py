@@ -242,8 +242,11 @@ def stage_headline() -> dict:
     floor = _dispatch_floor(ranges)
     cfg = dataclasses.replace(
         DEFAULT_CONFIG, particles=ParticleConfig(n_particles=1024))
+    # 5 reps on the headline: at ~0.2 s device time per run the subtracted
+    # dispatch floor dominates the run-to-run spread (4.2-7.2k scans/s
+    # observed at 3 reps); the median of 5 damps it at ~1 s extra cost
     sps, err = _timed_run(lambda eps: fastslam.run_pf(ranges + eps, cfg),
-                          "pf-1024", gt, n, floor)
+                          "pf-1024", gt, n, floor, reps=5)
     note = " [CPU fallback, 200 scans]" if CPU_FB else ""
     return {"headline": {
         "metric": f"scans/sec/chip, 1024 particles, museum-{n} "
