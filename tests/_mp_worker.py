@@ -38,18 +38,26 @@ def main() -> None:
 
     import numpy as np
 
-    path = run_case()
+    resample = os.environ.get("MP_WORKER_RESAMPLE", "1") == "1"
+    path = run_case(resample=resample)
     if pid == 0:
         np.save(out_path, path)
     jax.distributed.shutdown()
 
 
-def run_case():
+def run_case(resample: bool = True):
     """The shared workload: 12 sharded PF steps on the 8-device global mesh.
 
     Called both by the workers (global mesh spanning 2-4 processes) and by
     the single-process reference run (8 local virtual devices).
-    """
+
+    ``resample=False`` pins the DETERMINISTIC contract: without the
+    resampling argmin/categorical selections, the only cross-topology
+    difference is collective reduction order, and the trajectories must
+    match to float tolerance. With resampling on, a one-ulp weight
+    difference can flip a selection and legally move the estimate by a
+    couple of pixels — that run is compared with an estimator-noise bound
+    instead (see test_multiprocess.py)."""
     import dataclasses
 
     from lidar_slam_tpu.config import DEFAULT_CONFIG, ParticleConfig
@@ -59,7 +67,9 @@ def run_case():
     ranges, _ = simulate.generate_dataset(n_scans=13, seed=0)
     cfg = dataclasses.replace(
         DEFAULT_CONFIG,
-        particles=ParticleConfig(n_particles=64, vol_theta_bins=5, vol_half=4))
+        particles=ParticleConfig(
+            n_particles=64, vol_theta_bins=5, vol_half=4,
+            resample_threshold=0.5 if resample else 0.0))
     mesh = mesh_lib.make_mesh(n_map_shards=1)  # 8 global devices
     path, _ = sharded.run_sharded_pf(ranges, cfg, mesh, seed=0)
     return path

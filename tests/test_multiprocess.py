@@ -30,12 +30,12 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_pf_matches_single_process(tmp_path):
+def _run_workers(tmp_path, resample: bool) -> np.ndarray:
     port = _free_port()
     out = os.path.join(tmp_path, "mp_path.npy")
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "PALLAS_AXON_POOL_IPS")}
+    env["MP_WORKER_RESAMPLE"] = "1" if resample else "0"
     procs = [
         subprocess.Popen(
             [sys.executable, WORKER, str(pid), "2", str(port), out],
@@ -49,16 +49,41 @@ def test_two_process_pf_matches_single_process(tmp_path):
         logs.append(stdout.decode(errors="replace"))
     for p, log in zip(procs, logs):
         assert p.returncode == 0, f"worker failed:\n{log[-3000:]}"
-    mp_path = np.load(out)
+    return np.load(out)
 
-    # single-process reference on the same 8 (virtual) devices
+
+def _single_process_reference(resample: bool) -> np.ndarray:
     import importlib.util
 
     spec = importlib.util.spec_from_file_location("_mp_worker", WORKER)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    sp_path = mod.run_case()
+    return np.asarray(mod.run_case(resample=resample))
 
-    # same program, same seeds; only collective reduction order may differ
-    np.testing.assert_allclose(mp_path, np.asarray(sp_path),
-                               rtol=0.0, atol=1e-5)
+
+@pytest.mark.slow
+def test_two_process_pf_matches_single_process(tmp_path):
+    """Deterministic contract: with resampling off, the 2-process DCN run
+    and the single-process run compute the same program up to collective
+    reduction order — trajectories must match to float tolerance."""
+    mp_path = _run_workers(tmp_path, resample=False)
+    sp_path = _single_process_reference(resample=False)
+    np.testing.assert_allclose(mp_path, sp_path, rtol=0.0, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_two_process_pf_with_resampling_tracks(tmp_path):
+    """Full-pipeline contract: with resampling on, a one-ulp weight
+    difference from cross-process reduction order can legally flip a
+    selection and move the estimate by ~a pixel or two, so exact equality
+    is not the spec — both topologies must produce a coherent trajectory
+    within estimator noise of each other."""
+    mp_path = _run_workers(tmp_path, resample=True)
+    sp_path = _single_process_reference(resample=True)
+    assert mp_path.shape == sp_path.shape
+    # identical until the first resampling event…
+    np.testing.assert_allclose(mp_path[:2], sp_path[:2], rtol=0, atol=1e-5)
+    # …then bounded by estimator noise, not divergence (a lost filter is
+    # meters off within a few scans)
+    diff = np.hypot(*(mp_path[:, :2] - sp_path[:, :2]).T)
+    assert float(diff.max()) < 0.2, diff
