@@ -407,22 +407,26 @@ def stage_building() -> dict:
         "n_scans": n_b,
         "bit_exact_vs_oracle": bool(
             max_abs_err(np.asarray(jpath), cpath) == 0.0)}
-    # (b) solved config (+-2 correlative window): the accuracy headline
-    # on the hard workload the reference's fixed window cannot track
-    w_sps, w_err = _timed_run(
-        lambda eps: scan_matcher.run_scan(b_ranges + eps,
-                                          BUILDING_WIDE_CONFIG),
-        "wide-building", b_gt, n_b, b_floor)
-    secondary["building3800_wide"] = {
-        "scans_per_sec": round(w_sps, 1), "ate": round(w_err, 4)}
-    bcfg = dataclasses.replace(
-        BUILDING_CONFIG, particles=dataclasses.replace(
-            BUILDING_CONFIG.particles, n_particles=1024))
-    p_sps, p_err = _timed_run(
-        lambda eps: fastslam.run_pf(b_ranges + eps, bcfg),
-        "pf1024-building", b_gt, n_b, b_floor)
-    secondary["pf1024_building3800"] = {
-        "scans_per_sec": round(p_sps, 1), "ate": round(p_err, 4)}
+    # sub-runs are individually deadline-gated so a slow chip degrades the
+    # stage to fewer entries instead of losing the whole stage to a kill
+    if _left() > 60:
+        # (b) solved config (+-2 correlative window): the accuracy headline
+        # on the hard workload the reference's fixed window cannot track
+        w_sps, w_err = _timed_run(
+            lambda eps: scan_matcher.run_scan(b_ranges + eps,
+                                              BUILDING_WIDE_CONFIG),
+            "wide-building", b_gt, n_b, b_floor)
+        secondary["building3800_wide"] = {
+            "scans_per_sec": round(w_sps, 1), "ate": round(w_err, 4)}
+    if _left() > 50:
+        bcfg = dataclasses.replace(
+            BUILDING_CONFIG, particles=dataclasses.replace(
+                BUILDING_CONFIG.particles, n_particles=1024))
+        p_sps, p_err = _timed_run(
+            lambda eps: fastslam.run_pf(b_ranges + eps, bcfg),
+            "pf1024-building", b_gt, n_b, b_floor)
+        secondary["pf1024_building3800"] = {
+            "scans_per_sec": round(p_sps, 1), "ate": round(p_err, 4)}
     return {"secondary": secondary}
 
 
@@ -516,7 +520,8 @@ def stage_streaming() -> dict:
     from lidar_slam_tpu.models import scan_matcher
 
     ranges, _, _ = _museum()
-    n = min(200, ranges.shape[0])
+    n = min(140, ranges.shape[0])   # 140 scans: p99 stable, ~25 s cheaper
+    #                                 than 200 at the tunnel's per-fetch floor
 
     def lat_stats(lats_s: list) -> dict:
         a = np.asarray(lats_s) * 1e3
@@ -680,9 +685,9 @@ PLAN = [
     ("kernels", 170, 50),
     ("pf10240", 100, 35),
     ("fidelity", 110, 35),
-    ("streaming", 130, 40),
-    ("building", 230, 80),
+    ("streaming", 110, 35),
     ("building_graph", 210, 70),
+    ("building", 230, 80),
     ("graph", 170, 60),
     ("scaling", 100, 45),
 ]

@@ -63,6 +63,20 @@ class LoopClosureConfig:
     max_dist: float = 4.0         # m — candidate search radius
     max_candidates: int = 2       # old keyframes tried per new keyframe
     refine_iters: int = 8
+    # fine-raster refinement of ACCEPTED closures: the coarse 0.2 m closure
+    # raster bounds the measurement z's precision to ~a decimeter, which is
+    # worse than a tracking frontend's drift — accepted closures then pull
+    # the graph AWAY from a good trajectory (building-3800: graph 0.15-0.21
+    # m vs 0.04 m frontend-only). One extra batched dispatch re-matches each
+    # accepted pair against a 0.05 m raster of the old keyframe (the
+    # scan-odometry descent, halving steps from the coarse estimate).
+    fine_refine: bool = True
+    fine_pixel: float = 0.05
+    fine_size: int = 448          # 448 * 0.05 = 22.4 m extent
+    fine_range: float = 10.0      # points gated to the raster's safe reach
+    fine_step_t0: float = 0.08    # descent reach +-0.16 m around the coarse
+    fine_step_r0: float = 0.008   # estimate; resolution 2.5 mm / 0.25 mrad
+    fine_iters: int = 6
 
 
 def _closure_batch() -> int:
@@ -180,6 +194,40 @@ def _match_keyframes_batch(old_metric, cur_x, cur_y, cur_valid,
     # tunnel round trip)
     return jnp.concatenate([rel, avg[:, None], inl[:, None], amb[:, None]],
                            axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("pixel", "size", "iters",
+                                             "step_t0", "step_r0",
+                                             "max_range"))
+def _refine_rel_batch(x0, y0, v0, x1, y1, v1, guesses, *, pixel: float,
+                      size: int, iters: int, step_t0: float, step_r0: float,
+                      max_range: float):
+    """Fine-raster re-match of accepted closures (one vmapped dispatch).
+
+    Each old keyframe scan is rastered in its own frame at ``pixel`` and
+    clamp-EDT'd; the new keyframe's scan descends from the coarse estimate
+    with halving steps (the ops/scan_odometry pair-matcher applied
+    keyframe-to-keyframe). Points beyond ``max_range`` are gated so the
+    centered raster's reach is never exceeded."""
+    from lidar_slam_tpu.ops import matching
+    from lidar_slam_tpu.ops.scan_odometry import _raster_centered
+
+    mr2 = jnp.float32(max_range * max_range)
+
+    def one(ax, ay, av, bx, by, bv, g):
+        grid = _raster_centered(ax, ay, av & (ax * ax + ay * ay <= mr2),
+                                pixel, size)
+        metric = edt_ops.edt_clamped(grid.occ)
+        pose = g
+        st, sr = step_t0, step_r0
+        for _ in range(iters):
+            pose = matching.fast_match(
+                metric, grid, bx, by, bv & (bx * bx + by * by <= mr2),
+                pose, st, sr).pose
+            st, sr = st * 0.5, sr * 0.5
+        return pose
+
+    return jax.vmap(one)(x0, y0, v0, x1, y1, v1, guesses)
 
 
 # -- host-side SE(2) helpers (numpy; bookkeeping must not dispatch) -----------
@@ -408,7 +456,7 @@ class GraphSlam:
                                          packed[:, 4], packed[:, 5])
 
         n_cells = lc.n_theta * (2 * lc.window_half + 1) ** 2
-        any_accepted = False
+        accepted: list[tuple[int, int, int]] = []   # (row, i_old, k)
         for row in range(b):                   # skip padded rows
             i, k = olds[row], ks[row]
             if (avg_ds[row] > lc.accept_avg_dist
@@ -431,14 +479,42 @@ class GraphSlam:
             if (abs(off[0]) > budget or abs(off[1]) > budget
                     or abs(off[2]) > budget):
                 continue
+            accepted.append((row, i, k))
+        if not accepted:
+            return False
+
+        # fine-raster refinement of the accepted pairs (one bucketed
+        # dispatch each): drops z noise from the coarse raster's decimeter
+        # scale to the descent's millimeter resolution
+        z_rel = {row: rels[row] for row, _, _ in accepted}
+        if lc.fine_refine:
+            pairs = [(row, i, k) for row, i, k in accepted]
+            n_b2 = (len(pairs) + bucket - 1) // bucket
+            padded2 = pairs + [pairs[0]] * (n_b2 * bucket - len(pairs))
+            for s in range(n_b2):
+                sl = padded2[s * bucket: (s + 1) * bucket]
+                o2 = [i for _, i, _ in sl]
+                k2 = [k for _, _, k in sl]
+                g2 = np.stack([rels[row] for row, _, _ in sl])
+                fine = np.asarray(_refine_rel_batch(
+                    jnp.asarray(self._kf_x[o2]), jnp.asarray(self._kf_y[o2]),
+                    jnp.asarray(self._kf_valid[o2]),
+                    jnp.asarray(self._kf_x[k2]), jnp.asarray(self._kf_y[k2]),
+                    jnp.asarray(self._kf_valid[k2]), jnp.asarray(g2),
+                    pixel=lc.fine_pixel, size=lc.fine_size,
+                    iters=lc.fine_iters, step_t0=lc.fine_step_t0,
+                    step_r0=lc.fine_step_r0, max_range=lc.fine_range))
+                for j, (row, _, _) in enumerate(sl[:len(pairs) - s * bucket]):
+                    z_rel[row] = fine[j]
+
+        for row, i, k in accepted:
+            rel = z_rel[row]
             # convert measurement to the standard convention (theta negated)
-            z_std = np.asarray([rels[row][0], rels[row][1], -rels[row][2]],
-                               np.float32)
+            z_std = np.asarray([rel[0], rel[1], -rel[2]], np.float32)
             self._edges.append((i, k, z_std,
                                 np.asarray([50.0, 50.0, 200.0], np.float32)))
             self.closures.append((i, k))
-            any_accepted = True
-        return any_accepted
+        return True
 
     def _optimize(self) -> float:
         """One damped-GN solve over the materialized graph; NaN-revert.
