@@ -294,8 +294,15 @@ def _landmark_likelihoods(state: EkfSlamState, poses: jnp.ndarray,
 
 def ekf_slam_step_ml(state: EkfSlamState, obs: jnp.ndarray, obs_valid: jnp.ndarray,
                      cfg: EkfSlamConfig,
-                     odo: jnp.ndarray | None = None) -> tuple[EkfSlamState, jnp.ndarray]:
+                     odo: jnp.ndarray | None = None,
+                     aux_loglik_fn=None) -> tuple[EkfSlamState, jnp.ndarray]:
     """FastSLAM 1.0 step with per-particle MAXIMUM-LIKELIHOOD association.
+
+    ``aux_loglik_fn(poses (P, 3)) -> (P,)`` optionally adds an extra
+    per-particle observation log-likelihood (evaluated on the refined
+    proposal poses, before resampling). The hybrid grid+landmark model
+    (``models/ekf_hybrid.py``) passes the correlation-volume grid term here
+    so corridor stretches with no corner landmarks stay constrained.
 
     The scan-driven path (BASELINE config 2 made real): obs (M, 2) are
     range/bearing detections from ``ops/landmarks.extract_landmarks`` —
@@ -455,6 +462,8 @@ def ekf_slam_step_ml(state: EkfSlamState, obs: jnp.ndarray, obs_valid: jnp.ndarr
     (lm_mean, lm_cov, seen, logw_add), _ = jax.lax.scan(
         process_det, (state.lm_mean, state.lm_cov, state.lm_seen,
                       jnp.zeros(p, jnp.float32)), det_rows)
+    if aux_loglik_fn is not None:
+        logw_add = logw_add + aux_loglik_fn(poses)
     logw = state.logw + logw_add
     logw = logw - jnp.max(logw)
 

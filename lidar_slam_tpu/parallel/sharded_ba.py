@@ -11,24 +11,29 @@ Sharding layout (1-D mesh axis, default name "graph"):
 
 - factor arrays (odometry E axis, observation F axis) are sharded — each
   device linearizes only its factor shard (embarrassingly parallel jacfwd);
-- the pose Hessian ``Hpp`` is assembled locally per shard and
-  ``psum_scatter``-ed along keyframe *rows*, so each device materializes
-  only its (K/D, K) row-slab of the reduced matrix;
-- the landmark system (Hll block-diagonal, U = Hpl) is psum-replicated —
+- the reduced system is never materialized ANYWHERE: the Schur matvec
+  S v = Hpp v - U^T Hll^-1 (U v) is evaluated *factor-wise* (the iterative-
+  Schur form of ceres/g2o): each device scatter-adds its factors' 3x3/3x2
+  block products into (K, 3)- and (L, 2)-shaped vectors and a ``psum``
+  completes the row. The largest per-device intermediate is
+  O(E/D + F/D + K + L) — no (K, K)- or (L, K)-shaped array exists on any
+  device at any K (the round-4 version assembled a dense (K, K, 3, 3)
+  Hessian per shard before scattering, gigabytes at the "thousands of
+  keyframes" this module targets; ``test_sharded_ba.test_no_k2_intermediate``
+  pins the property on the compiled HLO at K=256);
+- the landmark system (Hll block-diagonal, bl) is psum-replicated —
   landmarks couple poses across shards, and the 2x2 blocks are tiny;
-- the Schur correction S = Hpp - U^T Hll^-1 U is computed on row-slices:
-  each device contracts its (L, K/D, 3, 2) slice of U against the full U —
-  the O(L K^2) einsum, the FLOP hot spot, scales 1/D per device;
-- the reduced solve is preconditioned conjugate gradients with a
-  block-Jacobi (3x3 pose-block) preconditioner: the matvec is row-local +
-  one ``all_gather`` per iteration; dot products run on replicated vectors.
+- the reduced solve is preconditioned conjugate gradients on replicated
+  (K, 3) vectors with a block-Jacobi (3x3 pose-block) preconditioner
+  (diagonal blocks assembled exactly, Schur diagonal correction summed
+  per-factor); three ``psum``s per CG iteration, all K-shaped.
 
 Gauge: pose 0 (and inactive poses) are handled as *exact* constraints
-(rows/columns zeroed, identity diagonal) instead of the dense path's 1e6
-prior — a 1e6 diagonal entry would wreck CG conditioning.
+(matvec masks fixed rows/columns, identity diagonal) instead of the dense
+path's 1e6 prior — a 1e6 diagonal entry would wreck CG conditioning.
 
-Collectives used: ``psum``, ``psum_scatter``, ``all_gather`` — all ICI-
-friendly; nothing is gathered that grows as K^2.
+Collectives used: ``psum`` only — ICI-friendly; nothing communicated ever
+exceeds O(K + L) blocks.
 """
 
 from __future__ import annotations
@@ -100,7 +105,6 @@ def _ba_kernel(poses0, lms0, pose_active, lm_active,
     my = jax.lax.axis_index(axis_name)
     kl = kmax // d
     ll = lmax // d
-    g_rows = my * kl + jnp.arange(kl)              # global keyframe rows here
     eye3 = jnp.eye(3, dtype=jnp.float32)
 
     # exact-constraint poses: gauge (node 0) + inactive slots
@@ -120,78 +124,92 @@ def _ba_kernel(poses0, lms0, pose_active, lm_active,
         (ji, jj) = odo_jac(xi, xj, odo_z)
         ro = odo_res(xi, xj, odo_z)
         wo = odo_w * odo_active[:, None]
-        h_ii = jnp.einsum("eab,ea,eac->ebc", ji, wo, ji)
+        h_ii = jnp.einsum("eab,ea,eac->ebc", ji, wo, ji)      # (E, 3, 3)
         h_jj = jnp.einsum("eab,ea,eac->ebc", jj, wo, jj)
         h_ij = jnp.einsum("eab,ea,eac->ebc", ji, wo, jj)
         b_i = jnp.einsum("eab,ea,ea->eb", ji, wo, ro)
         b_j = jnp.einsum("eab,ea,ea->eb", jj, wo, ro)
-
-        hpp = jnp.zeros((kmax, kmax, 3, 3), jnp.float32)
-        hpp = hpp.at[odo_i, odo_i].add(h_ii, mode="drop")
-        hpp = hpp.at[odo_j, odo_j].add(h_jj, mode="drop")
-        hpp = hpp.at[odo_i, odo_j].add(h_ij, mode="drop")
-        hpp = hpp.at[odo_j, odo_i].add(jnp.swapaxes(h_ij, 1, 2), mode="drop")
-        bp = jnp.zeros((kmax, 3), jnp.float32)
-        bp = bp.at[odo_i].add(b_i, mode="drop")
-        bp = bp.at[odo_j].add(b_j, mode="drop")
 
         xo = poses[obs_i]
         lo = lms[obs_j]
         (jp_, jl) = obs_jac(xo, lo, obs_z)
         rv = obs_res(xo, lo, obs_z)
         wv = obs_w * obs_active[:, None]
-        hpp_o = jnp.einsum("fab,fa,fac->fbc", jp_, wv, jp_)
-        hll_o = jnp.einsum("fab,fa,fac->fbc", jl, wv, jl)
-        hpl_o = jnp.einsum("fab,fa,fac->fbc", jp_, wv, jl)
+        hpp_o = jnp.einsum("fab,fa,fac->fbc", jp_, wv, jp_)   # (F, 3, 3)
+        hll_o = jnp.einsum("fab,fa,fac->fbc", jl, wv, jl)     # (F, 2, 2)
+        hpl_o = jnp.einsum("fab,fa,fac->fbc", jp_, wv, jl)    # (F, 3, 2)
         bp_o = jnp.einsum("fab,fa,fa->fb", jp_, wv, rv)
         bl_o = jnp.einsum("fab,fa,fa->fb", jl, wv, rv)
 
-        hpp = hpp.at[obs_i, obs_i].add(hpp_o, mode="drop")
+        # --- assembled SMALL systems (K- and L-shaped only; psum completes
+        # every row across shards — the factor blocks themselves never leave
+        # their device, and no (K, K)- or (L, K)-shaped array is built)
+        bp = jnp.zeros((kmax, 3), jnp.float32)
+        bp = bp.at[odo_i].add(b_i, mode="drop")
+        bp = bp.at[odo_j].add(b_j, mode="drop")
         bp = bp.at[obs_i].add(bp_o, mode="drop")
-        hll = jnp.zeros((lmax, 2, 2), jnp.float32).at[obs_j].add(hll_o, mode="drop")
+        bp = jax.lax.psum(bp, axis_name)
+        hll = jnp.zeros((lmax, 2, 2), jnp.float32).at[obs_j].add(
+            hll_o, mode="drop")
         bl = jnp.zeros((lmax, 2), jnp.float32).at[obs_j].add(bl_o, mode="drop")
-        u = jnp.zeros((lmax, kmax, 3, 2), jnp.float32)
-        u = u.at[obs_j, obs_i].add(hpl_o, mode="drop")
-
-        # --- cross-shard reduction -----------------------------------------
-        # row-slabs of Hpp / bp stay sharded; the landmark system replicates
-        hpp_rows = jax.lax.psum_scatter(hpp, axis_name, scatter_dimension=0,
-                                        tiled=True)              # (Kl, K, 3, 3)
-        bp_rows = jax.lax.psum_scatter(bp, axis_name, scatter_dimension=0,
-                                       tiled=True)               # (Kl, 3)
         hll = jax.lax.psum(hll, axis_name)
         bl = jax.lax.psum(bl, axis_name)
-        u = jax.lax.psum(u, axis_name)                           # (L, K, 3, 2)
 
         eye2 = jnp.eye(2, dtype=jnp.float32)
         hll = hll + eye2[None] * (damping
                                   + (~lm_active).astype(jnp.float32))[:, None, None]
         hll_inv = _inv2(hll)
 
-        # --- row-sliced Schur complement ------------------------------------
-        u_rows = jax.lax.dynamic_slice_in_dim(u, my * kl, kl, axis=1)  # (L, Kl, 3, 2)
-        s_rows = hpp_rows - jnp.einsum("lkab,lbc,lmdc->kmad", u_rows, hll_inv, u)
-        b_red_rows = bp_rows - jnp.einsum("lkab,lbc,lc->ka", u_rows, hll_inv, bl)
+        # --- reduced RHS: b_red = bp - U^T Hll^-1 bl, factor-wise (exact:
+        # the correction is linear in U = sum of per-factor (3, 2) blocks)
+        zb = jnp.einsum("lab,lb->la", hll_inv, bl)            # (L, 2)
+        corr = jnp.zeros((kmax, 3), jnp.float32).at[obs_i].add(
+            jnp.einsum("fab,fb->fa", hpl_o, zb[obs_j]), mode="drop")
+        b_red = bp - jax.lax.psum(corr, axis_name)
+        rhs = jnp.where(fixed[:, None], 0.0, -b_red)          # (K, 3)
 
-        # exact constraints: zero fixed rows/cols, identity diagonal, damping
-        rowfix = fixed[g_rows]
-        s_rows = s_rows * (~rowfix)[:, None, None, None].astype(jnp.float32)
-        s_rows = s_rows * (~fixed)[None, :, None, None].astype(jnp.float32)
-        diag_add = jnp.where(rowfix, 1.0, damping)
-        s_rows = s_rows.at[jnp.arange(kl), g_rows].add(
-            eye3[None] * diag_add[:, None, None])
+        # --- block-Jacobi preconditioner: exact Hpp diagonal blocks minus
+        # the per-factor Schur diagonal correction (exact when each
+        # (landmark, pose) pair carries one observation — the usual case —
+        # and a fine preconditioner regardless)
+        dpp = jnp.zeros((kmax, 3, 3), jnp.float32)
+        dpp = dpp.at[odo_i].add(h_ii, mode="drop")
+        dpp = dpp.at[odo_j].add(h_jj, mode="drop")
+        dpp = dpp.at[obs_i].add(hpp_o, mode="drop")
+        sdiag_f = jnp.einsum("fab,fbc,fdc->fad", hpl_o, hll_inv[obs_j],
+                             hpl_o)                            # (F, 3, 3)
+        dpp = dpp.at[obs_i].add(-sdiag_f, mode="drop")
+        dpp = jax.lax.psum(dpp, axis_name)                     # (K, 3, 3)
+        dblocks = jnp.where(fixed[:, None, None], eye3[None],
+                            dpp + damping * eye3[None])
+        minv = jnp.linalg.inv(dblocks)                         # (K, 3, 3)
 
-        rhs_rows = jnp.where(rowfix[:, None], 0.0, -b_red_rows)
-        rhs = jax.lax.all_gather(rhs_rows, axis_name, tiled=True)  # (K, 3)
-
-        # block-Jacobi preconditioner from the local diagonal blocks
-        dblocks = s_rows[jnp.arange(kl), g_rows]                   # (Kl, 3, 3)
-        minv = jax.lax.all_gather(jnp.linalg.inv(dblocks), axis_name,
-                                  tiled=True)                      # (K, 3, 3)
+        notfix = (~fixed)[:, None].astype(jnp.float32)
 
         def matvec(v):
-            y_rows = jnp.einsum("kmab,mb->ka", s_rows, v)
-            return jax.lax.all_gather(y_rows, axis_name, tiled=True)
+            """S v factor-wise; v and the result are replicated (K, 3)."""
+            vm = v * notfix
+            y = jnp.zeros((kmax, 3), jnp.float32)
+            y = y.at[odo_i].add(
+                jnp.einsum("eab,eb->ea", h_ii, vm[odo_i])
+                + jnp.einsum("eab,eb->ea", h_ij, vm[odo_j]), mode="drop")
+            y = y.at[odo_j].add(
+                jnp.einsum("eba,eb->ea", h_ij, vm[odo_i])
+                + jnp.einsum("eab,eb->ea", h_jj, vm[odo_j]), mode="drop")
+            y = y.at[obs_i].add(
+                jnp.einsum("fab,fb->fa", hpp_o, vm[obs_i]), mode="drop")
+            # Schur term: yl = U^T vm (per-landmark), zl = Hll^-1 yl,
+            # y -= U zl. U spans shards, so yl must psum BEFORE Hll^-1.
+            yl = jnp.zeros((lmax, 2), jnp.float32).at[obs_j].add(
+                jnp.einsum("fba,fb->fa", hpl_o, vm[obs_i]), mode="drop")
+            y = jax.lax.psum(y, axis_name)
+            yl = jax.lax.psum(yl, axis_name)
+            zl = jnp.einsum("lab,lb->la", hll_inv, yl)
+            y2 = jnp.zeros((kmax, 3), jnp.float32).at[obs_i].add(
+                jnp.einsum("fab,fb->fa", hpl_o, zl[obs_j]), mode="drop")
+            y = y - jax.lax.psum(y2, axis_name)
+            # exact constraints: identity on fixed rows, damping on free
+            return y * notfix + v * fixed[:, None] + damping * vm
 
         def precond(r):
             return jnp.einsum("kab,kb->ka", minv, r)
@@ -219,7 +237,9 @@ def _ba_kernel(poses0, lms0, pose_active, lm_active,
         dp = jnp.where(fixed[:, None], 0.0, dp)
 
         # --- landmark back-substitution (replicated; L x tiny blocks) -------
-        hlp_dp = jnp.einsum("lkba,kb->la", u, dp)
+        hlp_dp = jnp.zeros((lmax, 2), jnp.float32).at[obs_j].add(
+            jnp.einsum("fba,fb->fa", hpl_o, dp[obs_i]), mode="drop")
+        hlp_dp = jax.lax.psum(hlp_dp, axis_name)
         dl = jnp.einsum("lab,lb->la", hll_inv, -bl - hlp_dp)
         dl = dl * lm_active[:, None]
 
