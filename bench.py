@@ -418,18 +418,37 @@ def stage_building() -> dict:
             "wide-building", b_gt, n_b, b_floor)
         secondary["building3800_wide"] = {
             "scans_per_sec": round(w_sps, 1), "ate": round(w_err, 4)}
-    if _left() > 50 and not CPU_FB:
-        # the PF sub-run is a TPU workload (its CPU compile alone ran 85 s
-        # in the fallback child and dragged the whole stage past its budget)
-        bcfg = dataclasses.replace(
-            BUILDING_CONFIG, particles=dataclasses.replace(
-                BUILDING_CONFIG.particles, n_particles=1024))
-        p_sps, p_err = _timed_run(
-            lambda eps: fastslam.run_pf(b_ranges + eps, bcfg),
-            "pf1024-building", b_gt, n_b, b_floor)
-        secondary["pf1024_building3800"] = {
-            "scans_per_sec": round(p_sps, 1), "ate": round(p_err, 4)}
     return {"secondary": secondary}
+
+
+def stage_building_pf() -> dict:
+    """PF-1024 + graph-closure feedback on building-3800
+    (models/pf_graph_slam.py): the multi-hypothesis config's real number.
+    The closure-free PF bakes one corridor mis-registration into its shared
+    map (0.697 m ATE — the standing ablation, pf1024_building3800 in
+    BENCH_r04.json); the feedback path re-anchors the particle cloud and
+    rebuilds the map from optimized keyframes, so 1024 hypotheses finally
+    beat one."""
+    from lidar_slam_tpu.config import BUILDING_CONFIG
+    from lidar_slam_tpu.models.pf_graph_slam import run_pf_graph
+    from lidar_slam_tpu.utils.metrics import ate
+
+    b_ranges, b_gt, n_b = _building()
+    bcfg = dataclasses.replace(
+        BUILDING_CONFIG, particles=dataclasses.replace(
+            BUILDING_CONFIG.particles, n_particles=1024))
+    t0 = time.time()
+    path, _, gs = run_pf_graph(b_ranges, bcfg)
+    dt = time.time() - t0
+    err = float(ate(np.asarray(path), b_gt))
+    _log(f"building-pf-graph: {(n_b - 1) / dt:.1f} scans/s wall, "
+         f"ATE {err:.4f} m, {len(gs.closures)} closures")
+    return {"secondary": {"pf1024_building3800": {
+        "scans_per_sec_wall": round((n_b - 1) / dt, 1),
+        "ate": round(err, 4), "closures": len(gs.closures),
+        "closure_feedback": True, "n_scans": n_b,
+        "ablation_no_closure": "BENCH_r04.json pf1024_building3800: "
+                               "ATE 0.6972 at 2253.7 scans/s"}}}
 
 
 def stage_building_graph() -> dict:
@@ -447,35 +466,58 @@ def stage_building_graph() -> dict:
     gs = GraphSlam(BUILDING_WIDE_CONFIG)
     t0 = time.time()
     path, _ = gs.run(b_ranges)
-    dt = time.time() - t0
+    cold_dt = time.time() - t0
     err = float(ate(np.asarray(path), b_gt))
-    _log(f"building-graph: {(n_b - 1) / dt:.1f} scans/s wall, "
+    _log(f"building-graph cold: {(n_b - 1) / cold_dt:.1f} scans/s wall, "
          f"ATE {err:.4f} m, {len(gs.closures)} closures")
-    # ONE run: with the persistent compile cache this wall number is
-    # steady-state + host-loop dispatch overhead (a second warm run for
-    # "pure" steady state doubled the stage cost past its budget and a
-    # budget overrun kills the whole runner — reference point: 113.7
-    # scans/s warm vs ~100 incl cached-compile load)
-    return {"secondary": {"building3800_graph": {
-        "scans_per_sec_wall": round((n_b - 1) / dt, 1),
+    entry = {
+        "scans_per_sec_wall": round((n_b - 1) / cold_dt, 1),
+        "cold_s": round(cold_dt, 1),
         "ate": round(err, 4), "closures": len(gs.closures),
-        "n_scans": n_b}}}
+        "n_scans": n_b}
+    # warm run: first-class cold/warm split (VERDICT r4 weak #3 — the warm
+    # number previously lived only in a commit message). The cold run above
+    # pays per-process executable loads through the tunnel for every
+    # program the host loop touches; the warm run is the steady state.
+    if _left() > 0.7 * cold_dt + 25:
+        gs2 = GraphSlam(BUILDING_WIDE_CONFIG)
+        t0 = time.time()
+        path2, _ = gs2.run(b_ranges + np.float32(1e-6))
+        warm_dt = time.time() - t0
+        entry["warm_scans_per_sec"] = round((n_b - 1) / warm_dt, 1)
+        entry["warm_ate"] = round(float(ate(np.asarray(path2), b_gt)), 4)
+        _log(f"building-graph warm: {(n_b - 1) / warm_dt:.1f} scans/s wall")
+    return {"secondary": {"building3800_graph": entry}}
 
 
 def stage_ekf() -> dict:
-    from lidar_slam_tpu.config import DEFAULT_CONFIG
+    """EKF-FastSLAM (BASELINE config 2): hybrid grid+landmark observation.
+
+    The hybrid model (models/ekf_hybrid.py) is the config-2 number: the
+    pure landmark filter is corridor-blind between corner sightings and ran
+    0.78 m ATE on this tour (BENCH_r04) — 12x its grid-PF sibling. The
+    landmark-only filter stays as the ablation entry."""
     from lidar_slam_tpu.models import ekf_slam
+    from lidar_slam_tpu.models.ekf_hybrid import run_ekf_hybrid
 
     ranges, gt, n = _museum()
     floor = _dispatch_floor(ranges)
     ecfg = ekf_slam.long_tour_config(1024)
-    e_sps, e_err = _timed_run(
-        lambda eps: ekf_slam.run_ekf_slam_scan(
-            ranges + eps, ecfg, lidar_cfg=DEFAULT_CONFIG.lidar, seed=0,
-            max_range=ekf_slam.LONG_TOUR_MAX_RANGE),
-        "ekf-1024", gt, n, floor)
-    return {"secondary": {"ekf1024_museum1000": {
-        "scans_per_sec": round(e_sps, 1), "ate": round(e_err, 4)}}}
+    h_sps, h_err = _timed_run(
+        lambda eps: run_ekf_hybrid(ranges + eps, ecfg),
+        "ekf-hybrid-1024", gt, n, floor)
+    secondary = {"ekf1024_museum1000": {
+        "scans_per_sec": round(h_sps, 1), "ate": round(h_err, 4),
+        "observation_model": "hybrid grid+landmark"}}
+    if _left() > 60:
+        e_sps, e_err = _timed_run(
+            lambda eps: ekf_slam.run_ekf_slam_scan(
+                ranges + eps, ecfg, seed=0,
+                max_range=ekf_slam.LONG_TOUR_MAX_RANGE),
+            "ekf-landmark-only", gt, n, floor)
+        secondary["ekf1024_landmark_only"] = {
+            "scans_per_sec": round(e_sps, 1), "ate": round(e_err, 4)}
+    return {"secondary": secondary}
 
 
 def stage_graph() -> dict:
@@ -571,6 +613,134 @@ def stage_streaming() -> dict:
         "n_scans": n}}}
 
 
+def stage_submap() -> dict:
+    """Submap-atlas graph SLAM (the unbounded-map story): O(M) anchor
+    rewrites instead of O(points) map rebuilds after closure (SURVEY §5
+    long-context analog; no artifact number existed before round 5)."""
+    from lidar_slam_tpu.config import DEFAULT_CONFIG, SubmapConfig
+    from lidar_slam_tpu.io import simulate
+    from lidar_slam_tpu.models.submap_graph_slam import SubmapGraphSlam
+    from lidar_slam_tpu.utils.metrics import ate
+
+    n = 300 if CPU_FB else 700
+    ranges, gt = simulate.generate_dataset(
+        n_scans=n, seed=0, waypoints=simulate.LOOP_WAYPOINTS)
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG,
+        submaps=SubmapConfig(n_submaps=32, submap_capacity=4096,
+                             k_nearest=8, spawn_dist=2.0))
+    gs = SubmapGraphSlam(cfg)
+    t0 = time.time()
+    path, _ = gs.run(ranges)
+    dt = time.time() - t0
+    n_sub = int(gs.final_state.atlas.n_submaps)
+    err = float(ate(np.asarray(path), gt))
+    _log(f"submap-graph-{n}: {(n - 1) / dt:.1f} scans/s wall, ATE {err:.4f}, "
+         f"{len(gs.closures)} closures, {n_sub} resident submaps")
+    return {"secondary": {"submap_graph": {
+        "scans_per_sec_wall": round((n - 1) / dt, 1), "ate": round(err, 4),
+        "closures": len(gs.closures), "resident_submaps": n_sub,
+        "n_scans": n}}}
+
+
+def stage_scaling_tpu() -> dict:
+    """Multi-chip cost model measured on the real chip (BASELINE.md's
+    >=0.8 scaling-efficiency target needs a quantitative basis this
+    1-chip environment can produce — VERDICT r4 missing #1):
+
+    (a) sharded-vs-unsharded PF step on a 1-device mesh — isolates the
+        GSPMD partitioning + collective-insertion overhead a multi-chip
+        program pays per step, with zero ICI cost (collectives on a
+        1-device mesh are self-copies);
+    (b) the analytic per-step collective-bytes model of the sharded PF
+        (resampling all_gather + weight psum + EDT halo ppermute), the
+        traffic that WOULD ride ICI at D devices.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from lidar_slam_tpu.config import DEFAULT_CONFIG, ParticleConfig
+    from lidar_slam_tpu.core import sensor
+    from lidar_slam_tpu.models import fastslam
+    from lidar_slam_tpu.parallel import mesh as mesh_lib
+    from lidar_slam_tpu.parallel import sharded
+
+    n_steps = 60
+    ranges, _, _ = _museum()
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG, particles=ParticleConfig(n_particles=1024))
+    p = cfg.particles.n_particles
+
+    # both paths timed as ONE whole-sequence lax.scan dispatch (a per-step
+    # host loop would bury the GSPMD delta under the ~140 ms tunnel floor)
+    angles = jnp.asarray(sensor.beam_angles(cfg.lidar))
+    mesh1 = mesh_lib.make_mesh(n_particles_shards=1, n_map_shards=1,
+                               devices=jax.devices()[:1])
+
+    def body_u(st, r):
+        return fastslam.pf_step(st, r, cfg, angles)
+
+    def body_s(st, r):
+        st, est = fastslam.pf_step(st, r, cfg, angles)
+        st = jax.lax.with_sharding_constraint(
+            st, sharded.state_shardings(st, mesh1))
+        return st, est
+
+    @jax.jit
+    def run_u(rs):
+        st = fastslam.init_particles(rs[0], cfg, 0)
+        return jax.lax.scan(body_u, st, rs[1:])[1]
+
+    @jax.jit
+    def run_s(rs):
+        st = fastslam.init_particles(rs[0], cfg, 0)
+        st = jax.lax.with_sharding_constraint(
+            st, sharded.state_shardings(st, mesh1))
+        return jax.lax.scan(body_s, st, rs[1:])[1]
+
+    rs = jnp.asarray(ranges[:n_steps])
+    floor = _dispatch_floor(ranges)
+
+    def timed(fn, eps):
+        t0 = time.time()
+        float(np.asarray(fn(rs + eps))[-1, 0])
+        return time.time() - t0
+
+    timed(run_u, np.float32(0.0))              # compile
+    timed(run_s, np.float32(1e-7))             # compile
+    t_u = min(timed(run_u, np.float32(k * 1e-6)) for k in (1, 2, 3)) - floor
+    t_s = min(timed(run_s, np.float32(k * 1e-6)) for k in (4, 5, 6)) - floor
+    t_u, t_s = max(t_u, 1e-3), max(t_s, 1e-3)
+
+    # analytic per-step collective bytes at D shards (f32 = 4 B):
+    # - weight normalization/ESS: psum of (2,) partials               ~16 B
+    # - systematic resample: all_gather of shard logw (P*4 B) + the
+    #   ancestor exchange, worst case every particle's (poses+prev_poses)
+    #   crossing shards: 2 * P * 3 * 4 B
+    # - keyframe EDT halo (map axis, amortized over ~1/8 keyframe rate):
+    #   2 directions * max_dist rows * fine_size cols * 4 B
+    g = cfg.grid
+    halo = 2 * int(g.max_dist_px) * g.fine_size * 4
+    bytes_per_step = {
+        "resample_all_gather": p * 4 + 2 * p * 3 * 4,
+        "weight_psum": 16,
+        "edt_halo_ppermute_per_keyframe": halo,
+    }
+    per_u = t_u / (n_steps - 1)
+    per_s = t_s / (n_steps - 1)
+    _log(f"scaling-tpu: unsharded {per_u * 1e3:.1f} ms/step, 1-dev-mesh "
+         f"sharded {per_s * 1e3:.1f} ms/step, overhead x{per_s / per_u:.3f}")
+    return {"secondary": {"scaling_tpu_overhead": {
+        "note": "sharded-vs-unsharded PF-1024 on a real-chip 1-device mesh "
+                "(GSPMD overhead, zero ICI); collective bytes are the "
+                "analytic per-step ICI traffic at D>1",
+        "unsharded_ms_per_step": round(per_u * 1e3, 2),
+        "sharded_1dev_ms_per_step": round(per_s * 1e3, 2),
+        "gspmd_overhead_ratio": round(per_s / per_u, 3),
+        "collective_bytes_per_step": bytes_per_step,
+        "n_steps": n_steps}}}
+
+
 def stage_scaling() -> dict:
     """Shard-count sweep of the sharded PF step (BASELINE config 4).
 
@@ -590,8 +760,13 @@ def stage_scaling() -> dict:
     rep = {str(k): round(v, 2) for k, v in rep.items()}
     _log(f"scaling (virtual mesh): {rep}")
     return {"secondary": {"scaling_virtual_mesh": {
-        "note": "8-virtual-device CPU mesh program validation, "
-                "scans/s per shard count (not ICI scaling)",
+        "note": "PROGRAM VALIDATION ONLY: all D virtual devices share one "
+                "host's cores (and run concurrently with the TPU bench), "
+                "so D-shard runs re-divide constant compute — falling "
+                "scans/s here measures host oversubscription, not ICI "
+                "scaling. Quantitative multi-chip cost evidence lives in "
+                "scaling_tpu_overhead (real-chip GSPMD overhead + analytic "
+                "collective bytes).",
         "scans_per_sec": rep}}}
 
 
@@ -602,10 +777,13 @@ STAGES = {
     "fidelity": stage_fidelity,
     "pf10240": stage_pf10240,
     "building": stage_building,
+    "building_pf": stage_building_pf,
     "building_graph": stage_building_graph,
     "ekf": stage_ekf,
     "graph": stage_graph,
+    "submap": stage_submap,
     "streaming": stage_streaming,
+    "scaling_tpu": stage_scaling_tpu,
     "scaling": stage_scaling,
 }
 
@@ -680,23 +858,58 @@ def run_child(names: list, out=None) -> None:
 # (stage, per-stage budget s once the child is warm, skip below this budget)
 # Cheap stages run first so a cold warmup degrades the tail, not the count;
 # the two expensive building stages precede graph (VERDICT priority).
-PLAN = [
+_BASE_PLAN = [
     ("headline", 150, 40),
     ("oracle", 60, 25),
-    ("ekf", 120, 45),
+    ("ekf", 170, 50),
     ("kernels", 170, 50),
     ("pf10240", 100, 35),
     ("fidelity", 110, 35),
+    ("scaling_tpu", 90, 35),
     ("streaming", 110, 35),
     # 270 s: measured ~233 s in a fresh process — the persistent compile
     # cache skips XLA compiles but every program still pays a first-call
     # executable load through the tunnel, and the graph host loop touches
     # many programs
+    ("building_pf", 200, 70),
     ("building_graph", 270, 70),
-    ("building", 200, 70),
+    ("building", 150, 60),
     ("graph", 170, 60),
+    ("submap", 120, 50),
     ("scaling", 100, 45),
 ]
+
+
+def _plan_order() -> list:
+    """Priority rotation (VERDICT r4 weak #4): stages that missed the LAST
+    driver artifact (timeout / skipped / failed / never recorded) run right
+    after the headline, so a starved stage cannot starve twice in a row.
+    Deterministic from the newest committed BENCH_r*.json — the runner,
+    watcher, and every recovery child compute the same order."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    arts = sorted(glob.glob(os.path.join(here, "BENCH_r[0-9]*.json")))
+    missing: set = set()
+    if arts:
+        try:
+            with open(arts[-1]) as f:
+                data = json.load(f)
+            # driver artifacts wrap the bench line under "parsed"
+            stages = ((data.get("parsed") or data) or {}).get("stages", {})
+            missing = {n for n, _, _ in _BASE_PLAN
+                       if not str(stages.get(n, "missing")).startswith("ok")}
+        except (OSError, ValueError, AttributeError):
+            pass
+    head = [e for e in _BASE_PLAN if e[0] == "headline"]
+    hot = [e for e in _BASE_PLAN
+           if e[0] != "headline" and e[0] in missing]
+    rest = [e for e in _BASE_PLAN
+            if e[0] != "headline" and e[0] not in missing]
+    return head + hot + rest
+
+
+PLAN = _plan_order()
 # The axon relay "parks" after minutes of idleness; un-parking has been
 # measured at 89-300+ s for the first dispatch (cold mornings ~205 s, after
 # a mid-dispatch SIGKILL up to 15+ min). 320 s catches most cold starts
@@ -842,13 +1055,17 @@ def main_watch(runner_pid: int) -> None:
     # the scaling stage runs in its own always-CPU child at the end
     main_stages = [n for n, _, _ in PLAN if n not in CPU_ONLY_STAGES]
 
-    def consume(src, stages: list, warmup_budget: float) -> tuple:
+    def consume(src, stages: list, warmup_budget: float,
+                label_backend: bool = True) -> tuple:
         """Drain one stage source (the runner's pipe or a recovery child).
 
         Returns (remaining, warmup_failed): the stages that did NOT finish
         when the source had to be killed ([] when done / exited), and
         whether the kill happened before the source's warmup dispatch ever
-        completed (= device unusable, not a slow stage)."""
+        completed (= device unusable, not a slow stage).
+        ``label_backend=False`` keeps this source's backend out of the
+        artifact's top-level label (the concurrent CPU scaling child must
+        not claim the backend field before the TPU runner warms up)."""
         pending = list(stages)
         expected_done = time.time() + warmup_budget
         current = None            # stage the source announced it started
@@ -889,9 +1106,14 @@ def main_watch(runner_pid: int) -> None:
                 continue
             if ln.strip() == "DONE":
                 src.clean_done = True
+                # stages still pending at DONE (skipped by the child's own
+                # deadline guard) go back to the caller so the recovery
+                # phase can retry them under the watcher's own budget
+                # accounting (ADVICE r4: they were marked 'not run' and
+                # never retried even with budget remaining)
                 for name in pending:
                     result["stages"].setdefault(name, "not run")
-                return [], False
+                return list(pending), False
             if not ln.startswith("STAGE_RESULT="):
                 continue
             msg = json.loads(ln[len("STAGE_RESULT="):])
@@ -899,7 +1121,7 @@ def main_watch(runner_pid: int) -> None:
             if stage == "__warmup__":
                 w = msg["result"]
                 warmed = True
-                if result.get("backend") is None:
+                if label_backend and result.get("backend") is None:
                     result["backend"] = w["backend"]
                 _log(f"source warm: backend={w['backend']} first dispatch "
                      f"{w['first_dispatch_s']}s")
@@ -927,13 +1149,27 @@ def main_watch(runner_pid: int) -> None:
                 expected_done = time.time() + budgets[pending[0]]
         return [], False
 
+    # --- phase 0: the CPU-only scaling stage runs CONCURRENTLY with the
+    # TPU runner from the start — it never touches the chip (env stripped,
+    # 8-virtual-device CPU mesh), and serialized after everything else it
+    # missed the artifact in two of four rounds (VERDICT r4 missing #1).
+    senv = _cpu_env(dict(os.environ))
+    senv.pop("BENCH_CPU_FALLBACK", None)
+    senv["BENCH_DEADLINE_TS"] = repr(_DEADLINE)
+    senv["XLA_FLAGS"] = (senv.get("XLA_FLAGS", "")
+                         + " --xla_force_host_platform_device_count=8")
+    scaling_thread = threading.Thread(
+        target=consume, args=(_Child(["scaling"], senv, here), ["scaling"]),
+        kwargs={"warmup_budget": 120.0, "label_backend": False}, daemon=True)
+    scaling_thread.start()
+
     # --- phase 1: the runner (this watcher's parent) streams over stdin
     pending = list(main_stages)
     runner_src = _RunnerSource(runner_pid)
     remaining, warmup_failed = consume(runner_src, pending, WARMUP_BUDGET)
-    # no stage left behind = the runner finished (or already exited) — it
-    # will write DONE and block in watcher.wait() until we exit
-    runner_healthy = not remaining
+    # clean DONE = the runner finished (possibly skipping tail stages by
+    # its own deadline guard) — it blocks in watcher.wait() until we exit
+    runner_healthy = runner_src.clean_done or not remaining
 
     # --- phase 2: CPU recovery children for whatever the runner left
     # behind. Always CPU: a fresh TPU child would queue behind the (possibly
@@ -946,10 +1182,11 @@ def main_watch(runner_pid: int) -> None:
             break
         attempts += 1
         if "BENCH_CPU_FALLBACK" not in env:
-            _log("recovering remaining stages on CPU")
+            why = ("deadline-skip recovery" if runner_healthy
+                   else "cpu-fallback after wedge")
+            _log(f"recovering remaining stages on CPU ({why})")
             result["backend"] = (
-                f"{result.get('backend') or 'tpu-unreachable'}; "
-                f"cpu-fallback after wedge")
+                f"{result.get('backend') or 'tpu-unreachable'}; {why}")
             env = _cpu_env(env)
         child_env = dict(env)
         child_env["BENCH_DEADLINE_TS"] = repr(_DEADLINE)
@@ -959,17 +1196,10 @@ def main_watch(runner_pid: int) -> None:
     for name in main_stages:
         result["stages"].setdefault(name, "skipped (deadline)")
 
-    # --- phase 3: scaling, always the 8-virtual-device CPU mesh, own child
-    if _left() > need["scaling"]:
-        senv = _cpu_env(dict(os.environ))
-        senv.pop("BENCH_CPU_FALLBACK", None)
-        senv["BENCH_DEADLINE_TS"] = repr(_DEADLINE)
-        senv["XLA_FLAGS"] = (senv.get("XLA_FLAGS", "")
-                             + " --xla_force_host_platform_device_count=8")
-        consume(_Child(["scaling"], senv, here), ["scaling"],
-                warmup_budget=60.0)
-    else:
-        result["stages"]["scaling"] = "skipped (deadline)"
+    # --- phase 3: join the concurrent scaling child (phase 0)
+    scaling_thread.join(timeout=max(_DEADLINE - 12.0 - time.time(), 0.0))
+    if scaling_thread.is_alive():
+        result["stages"].setdefault("scaling", "timeout (concurrent child)")
 
     finish()
     # Only NOW may a wedged runner die: the artifact line is flushed to the

@@ -48,8 +48,7 @@ def _base_config(args):
     """Pick the grid/map preset matching the workload world."""
     import dataclasses as _dc
 
-    from lidar_slam_tpu.config import (BUILDING_CONFIG, DEFAULT_CONFIG,
-                                       MatcherConfig)
+    from lidar_slam_tpu.config import BUILDING_CONFIG, DEFAULT_CONFIG
 
     cfg = (BUILDING_CONFIG if getattr(args, "world", "museum") == "building"
            else DEFAULT_CONFIG)
@@ -58,7 +57,11 @@ def _base_config(args):
         # +-w-step correlative search per matcher stage; w=2 is the
         # BUILDING_WIDE_CONFIG that solves the building tour (w=1 =
         # reference-exact parity window)
-        cfg = _dc.replace(cfg, matcher=MatcherConfig(window_t=w, window_r=w))
+        # replace() keeps every other matcher field (resolutions,
+        # center-bias penalty) from the preset (ADVICE r4: a fresh
+        # MatcherConfig silently reset them to defaults)
+        cfg = _dc.replace(cfg, matcher=_dc.replace(cfg.matcher,
+                                                   window_t=w, window_r=w))
     return cfg
 
 
@@ -107,7 +110,8 @@ def cmd_run(args) -> int:
             run_dir = args.run_dir or ".slam_run"
             path, report = watchdog.run_pf_supervised(
                 ranges, cfg, run_dir, seed=args.seed,
-                stall_timeout_s=args.stall_timeout)
+                stall_timeout_s=args.stall_timeout,
+                resume=bool(args.resume))
             print(f"supervised run: completed={report.completed} "
                   f"attempts={report.attempts} stalls={report.stalls} "
                   f"({report.seconds:.1f}s)")
@@ -137,6 +141,29 @@ def cmd_run(args) -> int:
             checkpoint.save_state(args.checkpoint, state)
             print(f"checkpoint -> {args.checkpoint}")
         map_xy = np.asarray(state.pmap.xy[: int(state.pmap.size)])
+    elif args.mode == "ekf-hybrid":
+        # Hybrid grid+landmark EKF-FastSLAM (models/ekf_hybrid.py): the
+        # corner-landmark banks PLUS the correlation-volume grid likelihood
+        # in every particle weight — the accuracy config for config-2 runs.
+        from lidar_slam_tpu.models import ekf_slam
+        from lidar_slam_tpu.models.ekf_hybrid import run_ekf_hybrid
+
+        ecfg = ekf_slam.long_tour_config(args.particles)
+        path, final = run_ekf_hybrid(ranges, ecfg, cfg, seed=args.seed)
+        path = np.asarray(path)
+        map_xy = np.asarray(
+            final.pmap.xy[: int(np.asarray(final.pmap.size))])
+    elif args.mode == "pf-graph":
+        # PF frontend + pose-graph closure feedback
+        # (models/pf_graph_slam.py): closures re-anchor the particle cloud
+        # and rebuild the shared map — the robust multi-hypothesis config.
+        from lidar_slam_tpu.models.pf_graph_slam import run_pf_graph
+
+        path, _opt, gs = run_pf_graph(ranges, cfg, seed=args.seed)
+        path = np.asarray(path)
+        state = gs.final_state
+        map_xy = np.asarray(state.pmap.xy[: int(np.asarray(state.pmap.size))])
+        print(f"keyframes {int(gs.kf.count)}  loop closures {len(gs.closures)}")
     elif args.mode == "ekf":
         # Scan-driven EKF-FastSLAM: the same ranges CSV as every other mode;
         # landmarks are corner detections extracted from the scans
@@ -291,8 +318,8 @@ def main(argv=None) -> int:
     sp = sub.add_parser("run", help="run a SLAM pipeline")
     common(sp)
     sp.add_argument("--mode",
-                    choices=["fidelity", "pf", "ekf", "graph", "submap",
-                             "submap-graph"],
+                    choices=["fidelity", "pf", "pf-graph", "ekf",
+                             "ekf-hybrid", "graph", "submap", "submap-graph"],
                     default="fidelity")
     sp.add_argument("--window", type=int, default=None,
                     help="matcher search window in steps per stage "
@@ -305,7 +332,9 @@ def main(argv=None) -> int:
     sp.add_argument("--checkpoint", type=str, default=None,
                     help="save final state (pf mode)")
     sp.add_argument("--resume", type=str, default=None,
-                    help="resume from a saved state (pf mode)")
+                    help="resume from a saved state (pf mode); with "
+                    "--supervised, any value resumes the run-dir "
+                    "checkpoint when its run identity matches")
     sp.add_argument("--supervised", action="store_true",
                     help="pf mode: run under the device-failure watchdog "
                     "(stall kill + restart + checkpoint-resume)")

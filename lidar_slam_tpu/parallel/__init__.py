@@ -1,1 +1,6 @@
-from lidar_slam_tpu.parallel import mesh, resampling, sharded  # noqa: F401
+from lidar_slam_tpu.parallel import (  # noqa: F401
+    mesh,
+    resampling,
+    sharded,
+    sharded_ekf,
+)

@@ -28,11 +28,31 @@ from __future__ import annotations
 import dataclasses
 import multiprocessing
 import os
+import signal
 import tempfile
 import time
 
 
 HEARTBEAT_FILE = "heartbeat"
+
+
+def _worker_entry(worker, run_dir: str, args: tuple) -> None:
+    """Subprocess entry: detach into an own session/process group first, so
+    the supervisor's SIGKILL can take down helper subprocesses the worker
+    spawns (``os.killpg``), not just the worker pid."""
+    try:
+        os.setsid()
+    except OSError:
+        pass   # already a session leader (unlikely, but harmless)
+    worker(run_dir, *args)
+
+
+def _kill_group(proc) -> None:
+    """SIGKILL the worker's whole process group, falling back to the pid."""
+    try:
+        os.killpg(proc.pid, signal.SIGKILL)
+    except (ProcessLookupError, PermissionError, OSError):
+        proc.kill()
 
 
 class Heartbeat:
@@ -102,12 +122,12 @@ def run_supervised(worker, args: tuple, run_dir: str, *,
     while attempts <= max_restarts:
         attempts += 1
         launch = time.time()
-        proc = ctx.Process(target=worker, args=(run_dir,) + tuple(args),
-                           daemon=True)
+        proc = ctx.Process(target=_worker_entry,
+                           args=(worker, run_dir, tuple(args)), daemon=True)
         proc.start()
         while True:
             if deadline_s is not None and time.time() - t0 > deadline_s:
-                proc.kill()
+                _kill_group(proc)
                 proc.join(5.0)
                 return SuperviseReport(False, attempts, stalls, crashes,
                                        time.time() - t0)
@@ -119,7 +139,7 @@ def run_supervised(worker, args: tuple, run_dir: str, *,
             # attempt's heartbeat
             age = min(heartbeat_age(run_dir), time.time() - launch)
             if age > stall_timeout_s:
-                proc.kill()
+                _kill_group(proc)
                 proc.join(5.0)
                 stalls += 1
                 break
@@ -175,12 +195,51 @@ def pf_worker(run_dir: str, ranges, cfg, seed: int = 0,
     checkpoint.save_state(ckpt, state)
 
 
+RUN_ID_FILE = "run_id.txt"
+
+
+def _run_identity(ranges, cfg, seed: int) -> str:
+    """Content hash identifying one logical run (config + data + seed)."""
+    import hashlib
+
+    import numpy as np
+
+    h = hashlib.sha256()
+    h.update(cfg.to_json().encode())
+    h.update(f"seed={seed} n={len(ranges)}".encode())
+    h.update(np.ascontiguousarray(ranges[0], np.float32).tobytes())
+    return h.hexdigest()[:16]
+
+
 def run_pf_supervised(ranges, cfg, run_dir: str, *, seed: int = 0,
                       stall_timeout_s: float = 120.0, max_restarts: int = 1,
-                      ckpt_every: int = 100):
+                      ckpt_every: int = 100, resume: bool = False):
     """Particle-filter run that survives a wedged device: supervised worker
-    + checkpoint-resume. Returns (path (T, 3), SuperviseReport)."""
+    + checkpoint-resume. Returns (path (T, 3), SuperviseReport).
+
+    The run_dir is stamped with a run identity (hash of config + data +
+    seed). Leftover state is cleared before launch unless ``resume=True``
+    AND the stamp matches — a second run on different data in a shared
+    run_dir must never silently resume (or skip to) another run's state
+    (ADVICE r4: the CLI's shared '.slam_run' default made exactly that
+    happen)."""
     import numpy as np
+
+    run_id = _run_identity(ranges, cfg, seed)
+    os.makedirs(run_dir, exist_ok=True)
+    id_file = os.path.join(run_dir, RUN_ID_FILE)
+    try:
+        with open(id_file) as f:
+            same_run = f.read().strip() == run_id
+    except OSError:
+        same_run = False
+    if not (resume and same_run):
+        for name in (CKPT_FILE, PATH_FILE, HEARTBEAT_FILE):
+            p = os.path.join(run_dir, name)
+            if os.path.exists(p):
+                os.unlink(p)
+    with open(id_file, "w") as f:
+        f.write(run_id)
 
     report = run_supervised(pf_worker, (ranges, cfg, seed, ckpt_every),
                             run_dir, stall_timeout_s=stall_timeout_s,

@@ -55,6 +55,40 @@ def test_sharded_pf_step_runs_and_tracks(small_dataset):
     assert err < 0.25, f"sharded PF lost track: ATE {err:.3f}"
 
 
+def test_sharded_ekf_step_matches_single_device():
+    """The mesh-sharded EKF-bank step equals the plain step bit-for-bit:
+    same rng stream, same (P, L) algebra — GSPMD only changes placement."""
+    from lidar_slam_tpu.models import ekf_slam
+    from lidar_slam_tpu.parallel import sharded_ekf
+
+    ecfg = ekf_slam.EkfSlamConfig(n_particles=64, max_landmarks=8,
+                                  use_scan_odometry=True)
+    mesh = mesh_lib.make_mesh(n_particles_shards=8, n_map_shards=1)
+    obs = jnp.asarray([[2.0, 0.3], [3.0, -0.7], [1.5, 1.1], [4.0, 0.0]],
+                      jnp.float32)
+    valid = jnp.asarray([True, True, True, False])
+    odo = jnp.asarray([0.05, 0.0, 0.01], jnp.float32)
+
+    state_ref = ekf_slam.init_ekf_slam(ecfg, seed=0)
+    for _ in range(3):
+        state_ref, est_ref = ekf_slam.ekf_slam_step_ml(
+            state_ref, obs, valid, ecfg, odo=odo)
+
+    step, place = sharded_ekf.make_sharded_ekf_step(ecfg, mesh)
+    state_sh = place(ekf_slam.init_ekf_slam(ecfg, seed=0))
+    for _ in range(3):
+        state_sh, est_sh = step(state_sh, obs, valid, odo)
+
+    np.testing.assert_allclose(np.asarray(est_sh), np.asarray(est_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(state_sh.poses),
+                               np.asarray(state_ref.poses),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(state_sh.lm_mean),
+                               np.asarray(state_ref.lm_mean),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
