@@ -306,6 +306,15 @@ class GraphSlam:
         # edge lists (host): (i, j, z_std (3,), w (3,))
         self._edges: list[tuple[int, int, np.ndarray, np.ndarray]] = []
         self.kf_poses: list[np.ndarray] = []   # ref-convention, host mirror
+        self.kf_raw: list[np.ndarray] = []     # pose AT ADD TIME (frozen —
+        #                                 _optimize rewrites kf_poses, not
+        #                                 these; anchors for smoothed_path)
+        self.kf_epoch: list[int] = []   # frame epoch at add time (feedback
+        #                                 rewrites the frontend frame; raw
+        #                                 poses are only comparable to path
+        #                                 entries of the same epoch)
+        self.path_epoch: list[int] = [0]
+        self._epoch = 0
         self.closures: list[tuple[int, int]] = []
         self.kf_times: list[int] = []   # scan index of each keyframe
         self._kf_cum: list[float] = []  # path length up to each keyframe (m),
@@ -381,6 +390,8 @@ class GraphSlam:
         else:
             self._kf_cum.append(0.0)
         self.kf_poses.append(pose_ref)
+        self.kf_raw.append(pose_ref.copy())
+        self.kf_epoch.append(self._epoch)
         self.kf_times.append(scan_t)
         return k
 
@@ -663,6 +674,7 @@ class GraphSlam:
             new_kf = []
             for i in range(n_real):
                 path.append(poses_c[i])
+                self.path_epoch.append(self._epoch)
                 if not flags_c[i]:
                     continue
                 k = self._add_keyframe(blk[i][0], blk[i][1],
@@ -687,8 +699,39 @@ class GraphSlam:
                     # current geometry don't pay a map rebuild
                     with self.timer.stage("feedback"):
                         state = self._rebuild_frontend(state)
+                    self._epoch += 1
             t += n_real
 
         opt_poses = list(self.kf_poses)
         self.final_state = state  # for map export by callers/subclasses
-        return np.stack(path), np.stack(opt_poses)
+        self._last_path = np.stack(path)
+        return self._last_path, np.stack(opt_poses)
+
+    def smoothed_path(self, path: np.ndarray | None = None) -> np.ndarray:
+        """Post-hoc graph-smoothed trajectory — the standard output of a
+        pose-graph SLAM system (the online path keeps whatever drift each
+        scan had when it was estimated; the smoothed path re-expresses
+        every pose relative to its nearest keyframe of the same frame
+        epoch and composes it onto that keyframe's OPTIMIZED pose, so
+        closure corrections propagate to the whole tour, past included).
+
+        Frame epochs: every feedback rewrite changes the frontend's frame;
+        raw keyframe anchors are only comparable to path entries recorded
+        in the same epoch (``kf_epoch`` / ``path_epoch``)."""
+        if path is None:
+            path = self._last_path
+        path = np.asarray(path)
+        out = path.copy()
+        if not self.kf_poses:
+            return out
+        kf_t = np.asarray(self.kf_times)
+        kf_ep = np.asarray(self.kf_epoch)
+        for t in range(len(path)):
+            ep = self.path_epoch[t] if t < len(self.path_epoch) else kf_ep[-1]
+            same = np.nonzero(kf_ep == ep)[0]
+            if len(same) == 0:       # epoch without keyframes (rare):
+                same = np.arange(len(kf_t))   # nearest overall, approximate
+            i = int(same[np.argmin(np.abs(kf_t[same] - t))])
+            z = _np_between_ref(self.kf_raw[i], path[t])
+            out[t] = _np_compose_ref(self.kf_poses[i], z)
+        return out

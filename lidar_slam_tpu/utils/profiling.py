@@ -25,6 +25,7 @@ class StageTimer:
     def __init__(self):
         self.totals = defaultdict(float)
         self.counts = defaultdict(int)
+        self.samples = defaultdict(list)
 
     @contextlib.contextmanager
     def stage(self, name: str):
@@ -33,8 +34,26 @@ class StageTimer:
             yield
         finally:
             jax.effects_barrier()
-            self.totals[name] += time.perf_counter() - t0
+            dt = time.perf_counter() - t0
+            self.totals[name] += dt
             self.counts[name] += 1
+            self.samples[name].append(dt)
+
+    def steady_state_total(self) -> float:
+        """Total wall time with each stage's FIRST call re-priced at the
+        median of its remaining calls — the first call of every jitted
+        program carries its compile / executable load (on a remote-attached
+        chip that load dominates), so this estimates the warm steady state
+        from a single run without paying for a second one."""
+        import statistics
+
+        total = 0.0
+        for name, xs in self.samples.items():
+            if len(xs) > 1:
+                total += sum(xs[1:]) + statistics.median(xs[1:])
+            else:
+                total += sum(xs)
+        return total
 
     def report(self) -> str:
         total = sum(self.totals.values()) or 1e-9

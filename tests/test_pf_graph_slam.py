@@ -45,3 +45,7 @@ def test_pf_graph_closes_loop_and_tracks():
     assert len(gs.closures) >= 1, "no closures on a loop trajectory"
     err = float(ate(np.asarray(path), gt[: len(path)]))
     assert err < 0.15, f"PF-graph lost track: ATE {err:.3f}"
+    # graph-smoothed output must be at least as good as the online path
+    sm = gs.smoothed_path(np.asarray(path))
+    err_s = float(ate(sm, gt[: len(path)]))
+    assert err_s < err + 0.03, (err_s, err)
