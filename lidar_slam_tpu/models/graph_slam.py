@@ -62,6 +62,20 @@ class LoopClosureConfig:
     min_gap: int = 10             # keyframe index gap before closing
     max_dist: float = 4.0         # m — candidate search radius
     max_candidates: int = 2       # old keyframes tried per new keyframe
+    #                               (3 candidates + weak weight 8 measured
+    #                               WORSE on the building mis-registration
+    #                               tour: 0.85 vs 0.45 m — more weak anchors
+    #                               also means more weakly-wrong anchors)
+    # weak-closure second tier (see _try_loop_closures_batch): rail- and
+    # consistency-clean full-overlap matches whose absolute score fails the
+    # strict gates enter at ~1/10 weight; <= 2 per keyframe. OFF by
+    # default: a low-drift tracking frontend gains nothing from noisy
+    # anchors (enabling them regressed the wide-frontend building graph
+    # 0.069 -> 1.48 m, measured) — they are a RECOVERY mechanism for
+    # multi-modal frontends whose map can mis-register (PFGraphSlam
+    # enables them by default: 0.94 -> 0.45 m on the same tour).
+    weak_closures: bool = False
+    weak_avg_dist: float = 3.5    # px — weak-tier score ceiling
     refine_iters: int = 8
     # fine-raster refinement of ACCEPTED closures: the coarse 0.2 m closure
     # raster bounds the measurement z's precision to ~a decimeter, which is
@@ -316,7 +330,17 @@ class GraphSlam:
         self.path_epoch: list[int] = [0]
         self._epoch = 0
         self.closures: list[tuple[int, int]] = []
+        self.weak_closures: list[tuple[int, int]] = []
         self.kf_times: list[int] = []   # scan index of each keyframe
+        self._edge_speeds: list[float] = []  # per-scan speeds of accepted
+        #                                 odometry edges (jump-gate baseline)
+        self.jump_edges: list[tuple[int, int, int]] = []  # flagged jumps
+        self._jump_kf: set[int] = set()  # keyframes right after a jump —
+        #                                 widened closure search (see
+        #                                 _closure_candidates)
+        self.closure_rejects: dict = {}  # gate -> count (observability)
+        self.attempt_log: list = []  # (k, i_old, avg_d, inlier, ambig_cells,
+        #                               off_xy) per match attempt
         self._kf_cum: list[float] = []  # path length up to each keyframe (m),
         #                                 frozen at add time (drift budget of
         #                                 the consistency gate)
@@ -362,7 +386,7 @@ class GraphSlam:
 
     # -- keyframe bookkeeping (pure host) ----------------------------------------
     def _add_keyframe(self, scan_x, scan_y, scan_valid, pose_ref: np.ndarray,
-                      scan_t: int = 0):
+                      scan_t: int = 0, quality: float = 0.0):
         k = self._kf_count
         if k >= self.max_keyframes:
             if not self._saturation_warned:
@@ -383,8 +407,42 @@ class GraphSlam:
         if k > 0:
             z = _np_between_std(_np_ref_to_std(self.kf_poses[-1]),
                                 _np_ref_to_std(pose_ref))
-            self._edges.append((k - 1, k, z,
-                                np.asarray([100.0, 100.0, 400.0], np.float32)))
+            w = np.asarray([100.0, 100.0, 400.0], np.float32)
+            # frontend-health weighting: clamp_frac > 0 means part of the
+            # particle cloud escaped the scoring window this step — the
+            # estimate is suspect, so its odometry edge softens (measured
+            # on the building mis-registration: clamp_frac 0.02-0.15 over
+            # the ~15-scan walk where the 2 m error entered). At cf=0.05
+            # the edge halves; at 0.15 it carries ~1/10 weight.
+            if quality > 0.0:
+                w = w / np.float32(1.0 + (quality / 0.05) ** 2)
+            # Kinematic jump gate: a keyframe-to-keyframe translation far
+            # beyond the physical envelope (>4x the running-median per-scan
+            # speed AND >0.5 m absolute) is a frontend RE-REGISTRATION
+            # event (mis-registration entering, or the map snapping the
+            # estimate back), not motion — recording it as a stiff
+            # odometry edge bakes the discrepancy into a perfectly
+            # self-consistent graph that no closure can bend (observed:
+            # building-3800 PF stretch at ~2 m that optimize left
+            # untouched because every residual was zero). The repair:
+            # clamp the edge's translation to the kinematic bound and
+            # weight it softly, so a final optimize translates the whole
+            # mis-registered cluster back once its far end is constrained.
+            step = float(np.hypot(z[0], z[1]))
+            gap = max(scan_t - (self.kf_times[-1] if self.kf_times else 0), 1)
+            speed = step / gap
+            hist = self._edge_speeds[-100:]
+            if (len(hist) >= 10 and step > 0.5
+                    and speed > 4.0 * float(np.median(hist))):
+                bound = 4.0 * float(np.median(hist)) * gap
+                z = z.copy()
+                z[:2] *= bound / step
+                w = np.asarray([4.0, 4.0, 16.0], np.float32)
+                self.jump_edges.append((k - 1, k, scan_t))
+                self._jump_kf.add(k)
+            else:
+                self._edge_speeds.append(speed)
+            self._edges.append((k - 1, k, z, w))
             self._kf_cum.append(self._kf_cum[-1] + float(
                 np.hypot(*(pose_ref[:2] - self.kf_poses[-1][:2]))))
         else:
@@ -416,16 +474,25 @@ class GraphSlam:
             self._kf_metric[o] = np.asarray(m)
 
     def _closure_candidates(self, k: int) -> list[int]:
-        """Old keyframes worth matching against keyframe ``k`` (pure host)."""
+        """Old keyframes worth matching against keyframe ``k`` (pure host).
+
+        Keyframes within a few frames after a detected re-registration jump
+        get a widened search (3x radius, more candidates): the frontend
+        just snapped back onto the map, so anchoring it to OLD keyframes is
+        exactly what turns the soft jump edge into a correctable cluster —
+        the regular 4 m radius misses revisits seen from across a hall."""
         lc = self.lc
         if k < lc.min_gap:
             return []
+        wide = any(0 <= k - j <= 6 for j in self._jump_kf)
+        max_dist = lc.max_dist * (3.0 if wide else 1.0)
+        n_cand = (2 * lc.max_candidates) if wide else lc.max_candidates
         cur = self.kf_poses[k]
         old = [(i, float(np.hypot(*(p[:2] - cur[:2]))))
                for i, p in enumerate(self.kf_poses[: k - lc.min_gap + 1])]
-        old = [c for c in old if c[1] < lc.max_dist]
+        old = [c for c in old if c[1] < max_dist]
         old.sort(key=lambda c: c[1])
-        return [i for i, _ in old[: lc.max_candidates]]
+        return [i for i, _ in old[: n_cand]]
 
     def _try_loop_closures_batch(self, new_kf: list[int]) -> bool:
         """Match every (new keyframe, old candidate) pair of the chunk in ONE
@@ -467,21 +534,29 @@ class GraphSlam:
                                          packed[:, 4], packed[:, 5])
 
         n_cells = lc.n_theta * (2 * lc.window_half + 1) ** 2
+
+        def reject(reason: str) -> None:
+            self.closure_rejects[reason] = (
+                self.closure_rejects.get(reason, 0) + 1)
+
         accepted: list[tuple[int, int, int]] = []   # (row, i_old, k)
+        weak: list[tuple[int, int, int]] = []
+        weak_per_kf: dict = {}
         for row in range(b):                   # skip padded rows
             i, k = olds[row], ks[row]
-            if (avg_ds[row] > lc.accept_avg_dist
-                    or inliers[row] < lc.min_inlier_frac
-                    or ambigs[row] * n_cells > lc.max_ambiguous_cells):
-                continue
-            # rail rejection: a "match" at the edge of the search window means
-            # the true alignment is outside it (drift exceeded the window) —
-            # such railed solutions pass the score test with garbage poses.
             off = rels[row] - guesses[row]
+            self.attempt_log.append(
+                (k, i, float(avg_ds[row]), float(inliers[row]),
+                 float(ambigs[row] * n_cells),
+                 float(np.hypot(off[0], off[1]))))
+            # rail rejection: a "match" at the edge of the search window
+            # means the true alignment is outside it (drift exceeded the
+            # window) — railed solutions pass score tests with garbage.
             max_xy = 0.85 * lc.window_half * lc.raster_pixel
             max_th = 0.85 * (lc.n_theta // 2) * lc.theta_step
             if (abs(off[0]) > max_xy or abs(off[1]) > max_xy
                     or abs(off[2]) > max_th):
+                reject("rail")
                 continue
             # odometry-consistency gate: the implied correction must fit
             # inside the drift budget accumulated between the two keyframes
@@ -489,17 +564,50 @@ class GraphSlam:
                       * abs(self._kf_cum[k] - self._kf_cum[i]))
             if (abs(off[0]) > budget or abs(off[1]) > budget
                     or abs(off[2]) > budget):
+                reject("consistency")
                 continue
-            accepted.append((row, i, k))
-        if not accepted:
+            strict = (avg_ds[row] <= lc.accept_avg_dist
+                      and inliers[row] >= lc.min_inlier_frac
+                      and ambigs[row] * n_cells <= lc.max_ambiguous_cells)
+            if strict:
+                accepted.append((row, i, k))
+                continue
+            # WEAK tier: SHARP (ambiguity-clean), full-overlap, rail- and
+            # consistency-clean matches whose absolute score fails the
+            # strict avg_dist gate. Hall-scale revisits legitimately score
+            # avg_d 2-3.5 px (viewpoint shift moves occlusion boundaries;
+            # measured: all 250 genuine tail->old revisit attempts on
+            # building-3800 had inlier 1.0 but avg_d median 2.9 vs the 1.1
+            # gate). Each weak closure keeps the sharpness gate (a HIGH but
+            # UNIQUE minimum — dropping it admitted 628 aliased/noisy edges
+            # whose 0.2 m-raster z bias dragged the whole run to 3 m ATE,
+            # measured), goes through the same fine-raster refinement as
+            # strong closures, and enters at ~1/10 weight: a healthy graph
+            # barely feels them, but dozens of mutually-consistent weak
+            # edges anchor a mis-registered cluster the strict gate would
+            # leave floating. Weak-only chunks do NOT trigger the
+            # optimize+feedback path (their influence lands at the next
+            # strong-closure solve or the final one).
+            if (lc.weak_closures and inliers[row] >= 0.9
+                    and avg_ds[row] <= lc.weak_avg_dist
+                    and ambigs[row] * n_cells <= lc.max_ambiguous_cells
+                    and weak_per_kf.get(k, 0) < 2):
+                weak.append((row, i, k))
+                weak_per_kf[k] = weak_per_kf.get(k, 0) + 1
+            else:
+                reject("avg_dist" if avg_ds[row] > lc.accept_avg_dist
+                       else ("inlier_frac"
+                             if inliers[row] < lc.min_inlier_frac
+                             else "ambiguity"))
+        if not accepted and not weak:
             return False
 
-        # fine-raster refinement of the accepted pairs (one bucketed
-        # dispatch each): drops z noise from the coarse raster's decimeter
-        # scale to the descent's millimeter resolution
-        z_rel = {row: rels[row] for row, _, _ in accepted}
+        # fine-raster refinement of the accepted pairs — strong AND weak —
+        # (one bucketed dispatch each): drops z noise from the coarse
+        # raster's decimeter scale to the descent's millimeter resolution
+        z_rel = {row: rels[row] for row, _, _ in accepted + weak}
         if lc.fine_refine:
-            pairs = [(row, i, k) for row, i, k in accepted]
+            pairs = [(row, i, k) for row, i, k in accepted + weak]
             n_b2 = (len(pairs) + bucket - 1) // bucket
             padded2 = pairs + [pairs[0]] * (n_b2 * bucket - len(pairs))
             for s in range(n_b2):
@@ -525,7 +633,13 @@ class GraphSlam:
             self._edges.append((i, k, z_std,
                                 np.asarray([50.0, 50.0, 200.0], np.float32)))
             self.closures.append((i, k))
-        return True
+        for row, i, k in weak:
+            rel = z_rel[row]
+            z_std = np.asarray([rel[0], rel[1], -rel[2]], np.float32)
+            self._edges.append((i, k, z_std,
+                                np.asarray([5.0, 5.0, 20.0], np.float32)))
+            self.weak_closures.append((i, k))
+        return bool(accepted)
 
     def _optimize(self) -> float:
         """One damped-GN solve over the materialized graph; NaN-revert.
@@ -622,14 +736,22 @@ class GraphSlam:
             def body(s, r):
                 s2, pose = slam_step(s, r, cfg, self.angles)
                 scan = sensor.read_scan(r, self.angles, lidar_cfg)  # CSE'd
-                return s2, (pose, s2.mini_updated, scan.x, scan.y, scan.valid)
+                # frontend health, when the frontend exposes one (the PF's
+                # clamp_frac = fraction of particles escaping the scoring
+                # window): keyframes recorded in unhealthy moments get soft
+                # odometry edges so the graph can bend exactly there
+                q = getattr(s2, "clamp_frac", None)
+                q = jnp.float32(0.0) if q is None else jnp.float32(q)
+                return s2, (pose, s2.mini_updated, q,
+                            scan.x, scan.y, scan.valid)
 
-            st2, (poses, flags, sx, sy, sv) = jax.lax.scan(body, st,
-                                                           chunk_ranges)
-            # poses+flags packed: the host needs them every chunk, the scans
-            # only for the few keyframe rows — one small fetch, not four
+            st2, (poses, flags, quals, sx, sy, sv) = jax.lax.scan(
+                body, st, chunk_ranges)
+            # poses+flags+quality packed: the host needs them every chunk,
+            # the scans only for the few keyframe rows — one small fetch
             packed = jnp.concatenate(
-                [poses, flags[:, None].astype(jnp.float32)], axis=1)
+                [poses, flags[:, None].astype(jnp.float32),
+                 quals[:, None]], axis=1)
             return st2, packed, sx, sy, sv
 
         @jax.jit
@@ -657,6 +779,7 @@ class GraphSlam:
                 packed = np.asarray(packed)                 # one fetch
             poses_c = packed[:, :3]
             flags_c = packed[:, 3] > 0.5
+            quals_c = packed[:, 4]
             kf_rows = [i for i in range(n_real) if flags_c[i]]
             # fetch only the keyframe rows' gated scans, in fixed-width
             # buckets (one compiled gather program, one fetch per bucket)
@@ -679,7 +802,8 @@ class GraphSlam:
                     continue
                 k = self._add_keyframe(blk[i][0], blk[i][1],
                                        blk[i][2] > 0.5, poses_c[i],
-                                       scan_t=t + i)
+                                       scan_t=t + i,
+                                       quality=float(quals_c[i]))
                 new_kf.append(k)
             with self.timer.stage("kf_raster_edt"):
                 self._compute_kf_metrics(sorted(set(new_kf)))
@@ -701,6 +825,14 @@ class GraphSlam:
                         state = self._rebuild_frontend(state)
                     self._epoch += 1
             t += n_real
+
+        # final solve: closures (and soft jump edges) accepted near the end
+        # may never have triggered an optimize, and the jump-gate repair
+        # only takes effect once BOTH sides of a mis-registered cluster are
+        # constrained — one more damped-GN pass is a single dispatch
+        if self.closures or self.weak_closures or self.jump_edges:
+            with self.timer.stage("optimize"):
+                self._optimize()
 
         opt_poses = list(self.kf_poses)
         self.final_state = state  # for map export by callers/subclasses

@@ -83,11 +83,19 @@ def _reraster(pmap, kf_x, kf_y, kf_valid, kf_pose, cfg: SlamConfig):
 
 
 class PFGraphSlam(GraphSlam):
-    """GraphSlam with the 1024-hypothesis grid PF as frontend."""
+    """GraphSlam with the 1024-hypothesis grid PF as frontend.
+
+    Weak (recovery-tier) closures are ON by default here: the PF's shared
+    map can mis-register whole stretches, and the sharp-but-high-score
+    weak anchors are what lets the graph pull a bent cluster back
+    (building-3800: 0.94 -> 0.45 m ATE measured; the same tier is OFF for
+    tracking frontends, where it only adds noise — graph_slam.py)."""
 
     def __init__(self, cfg: SlamConfig,
-                 lc: LoopClosureConfig = LoopClosureConfig(),
+                 lc: LoopClosureConfig | None = None,
                  max_keyframes: int = 512, seed: int = 0):
+        if lc is None:
+            lc = LoopClosureConfig(weak_closures=True)
         super().__init__(cfg, lc, max_keyframes)
         self.frontend = _PFFrontend(seed)
 
@@ -130,7 +138,7 @@ class PFGraphSlam(GraphSlam):
 
 
 def run_pf_graph(ranges_all: np.ndarray, cfg: SlamConfig,
-                 lc: LoopClosureConfig = LoopClosureConfig(),
+                 lc: LoopClosureConfig | None = None,
                  max_keyframes: int = 512, seed: int = 0,
                  chunk_size: int | None = None):
     """PF-frontend graph SLAM over a whole dataset.
