@@ -880,7 +880,7 @@ _BASE_PLAN = [
     # tunnel); the round-5 session runs pre-warmed .jax_cache
     ("building_pf", 300, 80),
     ("building_graph", 200, 70),
-    ("building", 160, 60),
+    ("building", 190, 60),
     ("graph", 170, 60),
     ("submap", 120, 50),
     ("streaming", 110, 35),
