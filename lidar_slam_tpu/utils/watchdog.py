@@ -99,7 +99,8 @@ class SuperviseReport:
 def run_supervised(worker, args: tuple, run_dir: str, *,
                    stall_timeout_s: float, max_restarts: int = 1,
                    poll_s: float = 0.25,
-                   deadline_s: float | None = None) -> SuperviseReport:
+                   deadline_s: float | None = None,
+                   boot_grace_s: float | None = None) -> SuperviseReport:
     """Run ``worker(run_dir, *args)`` in a subprocess under a stall watchdog.
 
     ``worker`` must be a module-level (picklable) callable that:
@@ -112,8 +113,19 @@ def run_supervised(worker, args: tuple, run_dir: str, *,
     process group is SIGKILLed and relaunched (the checkpoint makes that a
     resume, not a rerun), up to ``max_restarts`` times. A worker that exits
     nonzero is also restarted. Returns a :class:`SuperviseReport`.
+
+    Until an attempt's FIRST beat, staleness is judged against
+    ``boot_grace_s`` (default ``max(stall_timeout_s, 30)``) instead of
+    ``stall_timeout_s``: the wedged-dispatch failure this module contains
+    only occurs after work has started, while interpreter bootstrap cost is
+    environment-dependent (a spawn child importing jax through the
+    remote-TPU sitecustomize pays seconds before any user code runs — a
+    tight stall timeout must not misread that as a stall and kill every
+    attempt at boot).
     """
     ctx = multiprocessing.get_context("spawn")
+    if boot_grace_s is None:
+        boot_grace_s = max(stall_timeout_s, 30.0)
     t0 = time.time()
     stalls = crashes = 0
     attempts = 0
@@ -134,11 +146,12 @@ def run_supervised(worker, args: tuple, run_dir: str, *,
             proc.join(poll_s)
             if proc.exitcode is not None:
                 break
-            # no beat yet this attempt counts from the launch, so a slow
-            # first chunk (compile) isn't misread as a stall of a previous
-            # attempt's heartbeat
+            # this attempt hasn't beat until the heartbeat file is newer
+            # than the launch; a stale file from a previous attempt (or
+            # none at all) leaves the attempt in its boot-grace window
+            booted = (time.time() - heartbeat_age(run_dir)) > launch
             age = min(heartbeat_age(run_dir), time.time() - launch)
-            if age > stall_timeout_s:
+            if age > (stall_timeout_s if booted else boot_grace_s):
                 _kill_group(proc)
                 proc.join(5.0)
                 stalls += 1
