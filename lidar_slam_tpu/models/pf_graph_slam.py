@@ -19,6 +19,31 @@ The feedback transform is the same anchor rewrite the single-hypothesis
 backend uses (pose' = opt_k (+) (old_k (-) pose)), applied to the whole
 (P, 3) cloud in one vectorized host pass; relative weights are preserved
 (a rigid re-anchoring moves every hypothesis identically).
+
+Accuracy envelope on building-3800 (ATE 0.31 m at the committed config) —
+diagnosed, round 5, with per-scan error vectors and closure topology:
+
+- The residual is NOT one bad keyframe: optimized-keyframe error grows
+  smoothly 0.1 -> 0.68 m over the t=1100-2300 stretch and decays back by
+  t=3700. That stretch is a no-revisit excursion — the tour only re-joins
+  previously-seen geometry at t~3491, so no loop closure CAN anchor its
+  middle; its accuracy is bounded by frontend drift, which for the cloud
+  estimate is proposal noise integrating along each corridor's flat
+  likelihood axis (sigma_xy=0.01 over ~1200 scans walks 0.3-0.5 m; the
+  error vector tracks the travel direction).
+- Every attempt to cut that drift broke the t~2000 corner (a 71-degree,
+  1.1 deg/scan turn) worse than the drift it saved, all measured at
+  seed 0 / chunk 128: exact-snap polish of the estimate (wt=wr=2:
+  0.50 m — heading error injected at the turn; wr=1: 0.86 m), an embedded
+  wide-matcher tracker with cloud rescue (1.40 m), halved static sigmas
+  (1.93 m, corner cut), turn-rate-inflated sigmas (theta-only: 5.1 m —
+  inflation overflows the +-1.5 deg volume window and breaks weighting;
+  xy+theta: 0.67 m), straightaway-attenuated sigmas (all-axis: 2.32 m,
+  xy-only: 0.59 m — the velocity-based turn signal lags corner entry and
+  the filter under-rotates, locking in 2-8 deg of heading error). The
+  committed config is the measured optimum of this family; pushing below
+  it needs a frontend whose corner tracking does not ride on cloud
+  diversity (per-particle maps, or an odometry sensor prior).
 """
 
 from __future__ import annotations
